@@ -1,0 +1,178 @@
+"""Feature schema: the TPU-native equivalent of the reference's feature namedtuples.
+
+The reference carries feature metadata in ``sparseFea``/``denseFea`` namedtuples
+(``kon/utils/data_prepare.py:59-60``) and newer wrappers in
+``kon/wrapper/Feature_Columns.py:21-34``. Here the schema is a set of frozen
+dataclasses designed for static-shape XLA compilation:
+
+- every spec carries enough information to build a *fused* embedding table
+  (one gather for all fields — MXU/HBM friendly) instead of one
+  ``tf.keras.layers.Embedding`` per field;
+- sequence features declare a ``vocab_name`` so a behavior sequence can share
+  rows with its candidate sparse field (the reference achieves this by
+  tensor-name matching inside ``ExtractLayer``,
+  ``kon/model/ctr_model/layer/interactive_layer/interactive_layer.py:82-109``);
+- id 0 of every vocab is reserved as padding (mask_zero semantics,
+  ``interactive_layer.py:205``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DenseSpec:
+    """A continuous feature column (reference ``denseFea``, data_prepare.py:60)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class SparseSpec:
+    """A categorical feature column (reference ``sparseFea``, data_prepare.py:59).
+
+    vocab_size counts real ids 1..vocab_size-1; id 0 is the padding/unknown slot.
+    ``vocab_name`` names the id space; fields with the same ``vocab_name``
+    share embedding rows (candidate item vs. behavior item sequence).
+    """
+
+    name: str
+    vocab_size: int
+    vocab_name: Optional[str] = None
+    # Dimension of the *cross* (second-order) embedding. The reference default
+    # is 8 (data_prepare.py:96). All specs in one FeatureSet must agree — the
+    # fused table has one dim.
+    dim: int = 8
+    emb_l2: float = 1e-8
+    trainable: bool = True
+
+    @property
+    def vocab(self) -> str:
+        return self.vocab_name or self.name
+
+
+@dataclass(frozen=True)
+class SeqSpec:
+    """A behavior-sequence feature (reference seq branch of ``sparseFea``;
+    built by ``seq_deal``/``sparse_wrap``, data_prepare.py:150-217).
+
+    ``max_len`` is the static padded length. ``vocab_name`` typically points at
+    the candidate field's vocab. Sessions (DSIN) are expressed as a seq of
+    ``session_num * session_len`` with ``session_shape`` set.
+    """
+
+    name: str
+    vocab_size: int
+    max_len: int
+    vocab_name: Optional[str] = None
+    dim: int = 8
+    emb_l2: float = 1e-8
+    trainable: bool = True
+    # (session_num, session_len) for DSIN-style session features, else None.
+    session_shape: Optional[Tuple[int, int]] = None
+
+    @property
+    def vocab(self) -> str:
+        return self.vocab_name or self.name
+
+
+@dataclass(frozen=True)
+class FeatureSet:
+    """The full input schema handed to every model constructor.
+
+    Equivalent of the reference's ``InputFeature`` (data_prepare.py:39-54), but
+    carrying *metadata only* — tensors live in the batch dict, parameters in
+    the param tree. Vocab layout for the fused table is derived once here.
+    """
+
+    dense: Tuple[DenseSpec, ...] = ()
+    sparse: Tuple[SparseSpec, ...] = ()
+    seq: Tuple[SeqSpec, ...] = ()
+
+    def __post_init__(self):
+        dims = {s.dim for s in self.sparse} | {s.dim for s in self.seq}
+        if len(dims) > 1:
+            raise ValueError(f"all sparse/seq specs must share one embed dim, got {dims}")
+        names = [s.name for s in self.dense + self.sparse + self.seq]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate feature names in {names}")
+        # vocab_name groups must agree on vocab_size
+        sizes: dict = {}
+        for s in list(self.sparse) + list(self.seq):
+            prev = sizes.setdefault(s.vocab, s.vocab_size)
+            if prev != s.vocab_size:
+                raise ValueError(
+                    f"vocab {s.vocab!r} declared with sizes {prev} and {s.vocab_size}")
+
+    # ---- derived layout -------------------------------------------------
+
+    @property
+    def embed_dim(self) -> int:
+        for s in self.sparse + self.seq:
+            return s.dim
+        return 0
+
+    @property
+    def vocabs(self) -> Tuple[Tuple[str, int], ...]:
+        """Ordered unique (vocab_name, vocab_size) pairs."""
+        seen = {}
+        for s in list(self.sparse) + list(self.seq):
+            if s.vocab not in seen:
+                seen[s.vocab] = s.vocab_size
+        return tuple(seen.items())
+
+    @property
+    def total_vocab(self) -> int:
+        return int(sum(v for _, v in self.vocabs))
+
+    @property
+    def vocab_offsets(self) -> Mapping[str, int]:
+        """Row offset of each vocab inside the fused embedding table."""
+        out, off = {}, 0
+        for name, size in self.vocabs:
+            out[name] = off
+            off += size
+        return out
+
+    def sparse_offsets(self) -> np.ndarray:
+        """(n_sparse,) int32 — offset to add to each sparse column's ids."""
+        offs = self.vocab_offsets
+        return np.asarray([offs[s.vocab] for s in self.sparse], dtype=np.int32)
+
+    def seq_offset(self, name: str) -> int:
+        spec = self.seq_spec(name)
+        return int(self.vocab_offsets[spec.vocab])
+
+    def sparse_index(self, name: str) -> int:
+        for i, s in enumerate(self.sparse):
+            if s.name == name:
+                return i
+        raise KeyError(name)
+
+    def seq_spec(self, name: str) -> SeqSpec:
+        for s in self.seq:
+            if s.name == name:
+                return s
+        raise KeyError(name)
+
+    def replace(self, **kw) -> "FeatureSet":
+        return dataclasses.replace(self, **kw)
+
+
+def criteo_feature_set(
+    vocab_sizes: Sequence[int],
+    n_dense: int = 13,
+    embed_dim: int = 8,
+) -> FeatureSet:
+    """Criteo-format schema: 13 dense + 26 sparse (reference un_seq.py:39-40)."""
+    dense = tuple(DenseSpec(f"I{i + 1}") for i in range(n_dense))
+    sparse = tuple(
+        SparseSpec(f"C{i + 1}", vocab_size=int(v), dim=embed_dim)
+        for i, v in enumerate(vocab_sizes)
+    )
+    return FeatureSet(dense=dense, sparse=sparse)

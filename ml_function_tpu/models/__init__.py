@@ -1,0 +1,38 @@
+"""Model registry: same capability list as the reference's ``models.py``
+(``kon/model/ctr_model/model/models.py:30-426``)."""
+
+from .base import Model
+from .interaction import (AFM, DCN, NFM, PNN, AutoInt, DeepCross, DeepFM, FM,
+                          WideDeep, xDeepFM)
+from .sequence import BST, DIEN, DIN, DSIN, SeqFM
+
+MODEL_REGISTRY = {
+    "fm": FM,
+    "pnn": PNN,
+    "deepcross": DeepCross,
+    "wide_deep": WideDeep,
+    "deepfm": DeepFM,
+    "dcn": DCN,
+    "nfm": NFM,
+    "xdeepfm": xDeepFM,
+    "afm": AFM,
+    "autoint": AutoInt,
+    "din": DIN,
+    "dien": DIEN,
+    "bst": BST,
+    "dsin": DSIN,
+    "seqfm": SeqFM,
+}
+
+
+def get_model(name: str, feature_set, **hp) -> Model:
+    try:
+        ctor = MODEL_REGISTRY[name.lower()]
+    except KeyError:
+        raise KeyError(f"unknown model {name!r}; have {sorted(MODEL_REGISTRY)}")
+    return ctor(feature_set, **hp)
+
+
+__all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "PNN", "DeepCross",
+           "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM", "AutoInt",
+           "DIN", "DIEN", "BST", "DSIN", "SeqFM"]

@@ -1,0 +1,368 @@
+"""Behavior-sequence model family: DIN / DIEN / BST / DSIN / SeqFM.
+
+TPU-native counterparts of the reference constructors
+(``kon/model/ctr_model/model/models.py``): DIN (:168), DIEN (:202),
+DSIN (:240), SeqFM (:264), BST (:336). Long-sequence tier (DTS/MIMN/SIM)
+lives in ``models/longseq.py``.
+
+Recurrences run as ``lax.scan`` with input projections hoisted to one MXU
+matmul (``ops/recurrent.py``); DIEN uses a *working* attention-gated AUGRU
+(the reference's gate is commented out, rnn_demo.py:569-574, forcing AIGRU).
+Auxiliary losses are explicit loss terms, not Keras ``add_loss``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..features.schema import FeatureSet
+from ..ops.attention import (MultiHeadAttention, SessionPositionBias,
+                             TargetAttention, TransformerBlock,
+                             sincos_position_encoding)
+from ..ops.base import split_rngs, zeros
+from ..ops.core import MLP, Dense, flatten_concat
+from ..ops.embedding import FusedEmbedding, masked_mean_pool, masked_sum_pool
+from ..ops.recurrent import AUGRU, GRU, BiLSTM
+from .base import Model, behavior_inputs, embed_inputs, stateless
+
+
+def _other_sparse(fs: FeatureSet, emb: jax.Array, candidate: Tuple[str, ...]):
+    """Flat embeddings of the non-candidate sparse fields."""
+    cand_idx = {fs.sparse_index(n) for n in candidate}
+    rest = [i for i in range(len(fs.sparse)) if i not in cand_idx]
+    if not rest:
+        return None
+    return emb[:, jnp.asarray(rest), :].reshape(emb.shape[0], -1)
+
+
+def _beh_dims(fs: FeatureSet, candidate, behavior):
+    d = fs.embed_dim
+    kd = len(candidate) * d
+    L = fs.seq_spec(behavior[0]).max_len
+    n_other = len(fs.sparse) - len(candidate)
+    return d, kd, L, n_other
+
+
+def DIN(fs: FeatureSet,
+        candidate: Tuple[str, ...] = ("item", "cate"),
+        behavior: Tuple[str, ...] = ("hist_item", "hist_cate"),
+        hidden: Tuple[int, ...] = (200, 80),
+        activation: str = "dice",
+        attention_hidden: Tuple[int, ...] = (36, 1)) -> Model:
+    """Deep Interest Network (reference ``DIN``, models.py:168-200):
+    sum-pooled behaviors + target-attention-pooled behaviors + candidate +
+    other fields → Dice/PReLU MLP (the reference uses PReLU-DNN with res 2 +
+    BN; here Dice + LayerNorm — the paper's activation, TPU-stateless)."""
+    fe = FusedEmbedding(fs, with_linear=False)
+    d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
+    attn = TargetAttention(kd, attention_hidden, activation="sigmoid")
+    in_dim = kd * 3 + n_other * d + len(fs.dense)
+    mlp = MLP(in_dim, hidden, activation=activation, norm="layer", out_dim=1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "attn", "mlp"])
+        return {"embedding": fe.init(rngs["emb"]),
+                "attn": attn.init(rngs["attn"]),
+                "mlp": mlp.init(rngs["mlp"])}
+
+    def fwd(params, batch, train):
+        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
+                                          candidate, behavior)
+        pooled_sum = masked_sum_pool(beh, mask)
+        pooled_att = attn(params["attn"], cand, beh, mask)
+        parts = [cand, pooled_sum, pooled_att]
+        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
+                              candidate)
+        if other is not None:
+            parts.append(other)
+        if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
+            parts.append(batch["dense"])
+        h = jnp.concatenate(parts, axis=-1)
+        logit, _ = mlp(params["mlp"], h)
+        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
+                        seq_ids=batch.get("seq"))
+        return logit[:, 0], {"emb_l2": l2}
+
+    return stateless("DIN", fs, init_fn, fwd)
+
+
+def _auxiliary_loss(aux_mlp: MLP, params, states: jax.Array, beh: jax.Array,
+                    mask: jax.Array) -> jax.Array:
+    """DIEN auxiliary loss (reference AuxiliaryLayer, behavior_layer.py:122-152):
+    classify (h_t, e_{t+1}) as click and (h_t, e_neg) as non-click.
+
+    Negatives are drawn by rolling the batch (the reference's SampleLayer
+    draws random rows from the same batch, behavior_layer.py:154-171)."""
+    h_t = states[:, :-1, :]
+    pos = beh[:, 1:, :]
+    neg = jnp.roll(beh, shift=1, axis=0)[:, 1:, :]
+    m = (mask[:, 1:] & mask[:, :-1]).astype(jnp.float32)
+
+    def score(e):
+        s, _ = aux_mlp(params, jnp.concatenate([h_t, e], axis=-1))
+        return s[..., 0]
+
+    pos_ll = jax.nn.log_sigmoid(score(pos))
+    neg_ll = jax.nn.log_sigmoid(-score(neg))
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    return -jnp.sum((pos_ll + neg_ll) * m) / denom
+
+
+def DIEN(fs: FeatureSet,
+         candidate: Tuple[str, ...] = ("item", "cate"),
+         behavior: Tuple[str, ...] = ("hist_item", "hist_cate"),
+         hidden: Tuple[int, ...] = (200, 80),
+         activation: str = "prelu",
+         aux_weight: float = 1.0,
+         mode: str = "augru") -> Model:
+    """Deep Interest Evolution Network (reference ``DIEN``, models.py:202-238).
+
+    GRU interest extractor (+aux loss) → attention-gated AUGRU evolution
+    (``mode='aigru'`` reproduces the reference's fallback: attention-weighted
+    sequence into a plain GRU, behavior_layer.py:199-241)."""
+    fe = FusedEmbedding(fs, with_linear=False)
+    d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
+    gru1 = GRU(kd, kd)
+    gru2 = GRU(kd, kd) if mode == "aigru" else AUGRU(kd, kd)
+    attn = TargetAttention(kd, (36, 1), activation="sigmoid")
+    aux_mlp = MLP(2 * kd, (100, 50), activation="sigmoid", out_dim=1)
+    in_dim = kd * 2 + n_other * d + len(fs.dense)
+    mlp = MLP(in_dim, hidden, activation=activation, norm="layer", out_dim=1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "gru1", "gru2", "attn", "aux", "mlp"])
+        return {"embedding": fe.init(rngs["emb"]),
+                "gru1": gru1.init(rngs["gru1"]),
+                "gru2": gru2.init(rngs["gru2"]),
+                "attn": attn.init(rngs["attn"]),
+                "aux": aux_mlp.init(rngs["aux"]),
+                "mlp": mlp.init(rngs["mlp"])}
+
+    def interest(params, cand, beh, mask):
+        """Shared core (reference ``useCore`` path for SIM, models.py:232-233):
+        returns (final interest state, aux loss)."""
+        states, _ = gru1(params["gru1"], beh, mask)
+        aux = _auxiliary_loss(aux_mlp, params["aux"], states, beh, mask)
+        scores = attn.scores(params["attn"], cand, states, mask)
+        if mode == "aigru":
+            weighted = states * scores[..., None]
+            _, final = gru2(params["gru2"], weighted, mask)
+        else:
+            _, final = gru2(params["gru2"], states, mask, att_scores=scores)
+        return final, aux
+
+    def fwd(params, batch, train):
+        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
+                                          candidate, behavior)
+        final, aux = interest(params, cand, beh, mask)
+        parts = [cand, final]
+        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
+                              candidate)
+        if other is not None:
+            parts.append(other)
+        if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
+            parts.append(batch["dense"])
+        h = jnp.concatenate(parts, axis=-1)
+        logit, _ = mlp(params["mlp"], h)
+        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
+                        seq_ids=batch.get("seq"))
+        return logit[:, 0], {"aux_loss": aux_weight * aux, "emb_l2": l2}
+
+    model = stateless("DIEN", fs, init_fn, fwd)
+    # expose the shared interest core for SIM (reference useCore)
+    object.__setattr__(model, "interest_core", interest)
+    object.__setattr__(model, "embedding", fe)
+    return model
+
+
+def BST(fs: FeatureSet,
+        candidate: Tuple[str, ...] = ("item", "cate"),
+        behavior: Tuple[str, ...] = ("hist_item", "hist_cate"),
+        n_blocks: int = 1,
+        num_heads: int = 2,
+        hidden: Tuple[int, ...] = (200, 80)) -> Model:
+    """Behavior Sequence Transformer (reference ``BST``, models.py:336-349).
+
+    The candidate is appended as the last sequence position (paper semantics —
+    the reference instead splits the sequence into pairs, models.py:342-343),
+    sin/cos positions added, transformer blocks, masked mean-pool → MLP."""
+    fe = FusedEmbedding(fs, with_linear=False)
+    d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
+    block = TransformerBlock(kd, num_heads, ffn_hidden=(4 * kd,))
+    in_dim = kd + n_other * d + len(fs.dense)
+    mlp = MLP(in_dim, hidden, activation="relu", norm="layer", out_dim=1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "mlp"] +
+                          [f"block{i}" for i in range(n_blocks)])
+        p = {"embedding": fe.init(rngs["emb"]), "mlp": mlp.init(rngs["mlp"])}
+        for i in range(n_blocks):
+            p[f"block{i}"] = block.init(rngs[f"block{i}"])
+        return p
+
+    def fwd(params, batch, train):
+        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
+                                          candidate, behavior)
+        seq = jnp.concatenate([beh, cand[:, None, :]], axis=1)  # (B, L+1, kD)
+        full_mask = jnp.concatenate(
+            [mask, jnp.ones((mask.shape[0], 1), bool)], axis=1)
+        seq = seq + sincos_position_encoding(seq.shape[1], kd)[None]
+        for i in range(n_blocks):
+            seq = block(params[f"block{i}"], seq, mask=full_mask)
+        pooled = masked_mean_pool(seq, full_mask)
+        parts = [pooled]
+        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
+                              candidate)
+        if other is not None:
+            parts.append(other)
+        if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
+            parts.append(batch["dense"])
+        h = jnp.concatenate(parts, axis=-1)
+        logit, _ = mlp(params["mlp"], h)
+        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
+                        seq_ids=batch.get("seq"))
+        return logit[:, 0], {"emb_l2": l2}
+
+    return stateless("BST", fs, init_fn, fwd)
+
+
+def DSIN(fs: FeatureSet,
+         candidate: Tuple[str, ...] = ("item", "cate"),
+         behavior: Tuple[str, ...] = ("hist_item", "hist_cate"),
+         session_shape: Optional[Tuple[int, int]] = None,
+         num_heads: int = 2,
+         lstm_hidden: Optional[int] = None,
+         hidden: Tuple[int, ...] = (200, 80)) -> Model:
+    """Deep Session Interest Network (reference ``DSIN``, models.py:240-261).
+
+    Sessions (S × Ls) → bias position encodings → per-session self-attention
+    + mean-pool (interest extractor) → BiLSTM across sessions (interacting) →
+    two target attentions (over raw interests and over LSTM states) → MLP."""
+    fe = FusedEmbedding(fs, with_linear=False)
+    d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
+    spec = fs.seq_spec(behavior[0])
+    S, Ls = session_shape or spec.session_shape or (4, L // 4)
+    assert S * Ls == L, f"session shape {S}x{Ls} != max_len {L}"
+    H = lstm_hidden or kd // 2
+    bias = SessionPositionBias(S, Ls, kd)
+    mha = MultiHeadAttention(kd, num_heads)
+    bilstm = BiLSTM(kd, H)
+    attn_i = TargetAttention(kd, (36, 1), activation="sigmoid")
+    attn_l = TargetAttention(2 * H, (36, 1), activation="sigmoid")
+    in_dim = kd * 2 + 2 * H + n_other * d + len(fs.dense)
+    mlp = MLP(in_dim, hidden, activation="prelu", norm="layer", out_dim=1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "bias", "mha", "bilstm", "attn_i",
+                                "attn_l", "mlp", "align"])
+        p = {"embedding": fe.init(rngs["emb"]), "bias": bias.init(rngs["bias"]),
+             "mha": mha.init(rngs["mha"]), "bilstm": bilstm.init(rngs["bilstm"]),
+             "attn_i": attn_i.init(rngs["attn_i"]),
+             "attn_l": attn_l.init(rngs["attn_l"]), "mlp": mlp.init(rngs["mlp"])}
+        if 2 * H != kd:
+            p["align"] = Dense(kd, 2 * H).init(rngs["align"])
+        return p
+
+    def fwd(params, batch, train):
+        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
+                                          candidate, behavior)
+        b = beh.shape[0]
+        sess = beh.reshape(b, S, Ls, kd)
+        sess = bias(params["bias"], sess)
+        sess = sess.reshape(b * S, Ls, kd)
+        sess_mask = mask.reshape(b * S, Ls)
+        # per-session self-attention; fully-padded sessions handled by
+        # falling back to zeros after pooling
+        any_valid = jnp.any(sess_mask, axis=1)
+        safe_mask = sess_mask | ~any_valid[:, None]
+        att = mha(params["mha"], sess, mask=safe_mask)
+        interests = masked_mean_pool(att, safe_mask)
+        interests = interests * any_valid[:, None]
+        interests = interests.reshape(b, S, kd)
+        sess_valid = jnp.any(mask.reshape(b, S, Ls), axis=2)
+        lstm_out = bilstm(params["bilstm"], interests, sess_valid)
+        cand_l = cand if 2 * H == kd else Dense(kd, 2 * H)(params["align"], cand)
+        pooled_i = attn_i(params["attn_i"], cand, interests, sess_valid)
+        pooled_l = attn_l(params["attn_l"], cand_l, lstm_out, sess_valid)
+        parts = [cand, pooled_i, pooled_l]
+        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
+                              candidate)
+        if other is not None:
+            parts.append(other)
+        if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
+            parts.append(batch["dense"])
+        h = jnp.concatenate(parts, axis=-1)
+        logit, _ = mlp(params["mlp"], h)
+        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
+                        seq_ids=batch.get("seq"))
+        return logit[:, 0], {"emb_l2": l2}
+
+    return stateless("DSIN", fs, init_fn, fwd)
+
+
+def SeqFM(fs: FeatureSet,
+          candidate: Tuple[str, ...] = ("item", "cate"),
+          behavior: Tuple[str, ...] = ("hist_item",),
+          num_heads: int = 2,
+          ffn_hidden: Tuple[int, ...] = (32,)) -> Model:
+    """Sequence-aware FM (reference ``SeqFM``, models.py:264-310): three
+    attention views — static (fields × fields), dynamic (causal over the
+    behavior seq), cross (static ↔ dynamic only, via mask) — each intra-view
+    mean-pooled, passed through a SHARED FFN, concatenated → logit."""
+    fe = FusedEmbedding(fs, with_linear=True)
+    d = fs.embed_dim
+    F = len(fs.sparse)
+    L = fs.seq_spec(behavior[0]).max_len
+    mha = MultiHeadAttention(d, num_heads, use_res=False, use_ln=True)
+    ffn = MLP(d, ffn_hidden, activation="relu")
+    head = Dense(3 * ffn_hidden[-1] + len(fs.dense), 1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "static", "dynamic", "cross", "ffn",
+                                "head"])
+        return {"embedding": fe.init(rngs["emb"]),
+                "static": mha.init(rngs["static"]),
+                "dynamic": mha.init(rngs["dynamic"]),
+                "cross": mha.init(rngs["cross"]),
+                "ffn": ffn.init(rngs["ffn"]),
+                "head": head.init(rngs["head"]),
+                "bias": zeros(())}
+
+    def fwd(params, batch, train):
+        emb = fe.sparse(params["embedding"], batch["sparse"])  # (B,F,D)
+        seq_e, mask = fe.seq(params["embedding"], behavior[0],
+                             batch["seq"][behavior[0]])
+        b = emb.shape[0]
+        # static view: field self-attention
+        v_static = jnp.mean(mha(params["static"], emb), axis=1)
+        # dynamic view: causal self-attention over behaviors
+        causal = MultiHeadAttention(d, num_heads, use_res=False, use_ln=True,
+                                    causal=True)
+        v_dyn = masked_mean_pool(causal(params["dynamic"], seq_e, mask=mask),
+                                 mask)
+        # cross view: concat [fields, seq]; mask blocks intra-view attention
+        both = jnp.concatenate([emb, seq_e], axis=1)  # (B, F+L, D)
+        is_static = jnp.concatenate(
+            [jnp.ones((b, F), bool), jnp.zeros((b, L), bool)], axis=1)
+        valid = jnp.concatenate([jnp.ones((b, F), bool), mask], axis=1)
+        cross_ok = (is_static[:, :, None] ^ is_static[:, None, :])
+        bias_q = jnp.where(cross_ok & valid[:, None, :], 0.0, -1e9)
+        v_cross = masked_mean_pool(
+            mha(params["cross"], both, mask=None, extra_bias=bias_q), valid)
+        views = []
+        for v in (v_static, v_dyn, v_cross):
+            o, _ = ffn(params["ffn"], v)  # shared FFN (reference :303)
+            views.append(o)
+        h = jnp.concatenate(
+            views + ([batch["dense"]] if len(fs.dense) else []), axis=-1)
+        logit = head(params["head"], h)[:, 0] + params["bias"]
+        lin = jnp.sum(fe.sparse_linear(params["embedding"], batch["sparse"]),
+                      axis=1)
+        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
+                        seq_ids=batch.get("seq"))
+        return logit + lin, {"emb_l2": l2}
+
+    return stateless("SeqFM", fs, init_fn, fwd)

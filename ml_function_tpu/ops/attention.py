@@ -1,0 +1,224 @@
+"""Attention blocks: field self-attention (AutoInt), target attention (DIN),
+transformer blocks (BST/DSIN/SeqFM/SIM), positional encodings.
+
+TPU-native re-design of the reference's attention stack
+(``kon/model/ctr_model/layer/behavior_layer/behavior_layer.py``):
+
+- ``MultHeadAttentionLayer`` (behavior_layer.py:313-380) materializes per-head
+  rank-3 weights and (noted in SURVEY §7) projects V with the K weights — a
+  bug. Here: standard fused QKV projections, softmax(QKᵀ/√d)V in one batched
+  einsum per step, paper semantics.
+- ``ProductAttentionLayer`` (behavior_layer.py:272-311) uses sigmoid where
+  softmax is expected; here scores are softmax-normalized with additive
+  −1e9 masking (the reference's −2³² trick, behavior_layer.py:78).
+- ``AttentionUnitLayer``/``ActivationUnitLayer`` (behavior_layer.py:53-120):
+  DIN target attention, scoring [cand, beh, cand−beh, cand·beh] with an MLP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Params, bf16_matmul, glorot_uniform, split_rngs, zeros
+from .core import MLP, Dense, LayerNorm
+
+NEG_INF = -1e9
+
+
+def attention_mask_bias(mask: jax.Array) -> jax.Array:
+    """(…, L) bool → (…, 1, L) additive bias (0 keep / −1e9 drop)."""
+    return jnp.where(mask[..., None, :], 0.0, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head self/cross attention
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MultiHeadAttention:
+    """softmax(QKᵀ/√d)V with fused projections.
+
+    Works both over behavior sequences (L = seq len) and over feature fields
+    (AutoInt: L = n_fields, no mask). ``use_res``/``use_ln`` mirror the
+    reference's optional residual + LayerNorm (behavior_layer.py:369-377).
+    """
+
+    dim: int
+    num_heads: int = 2
+    head_dim: Optional[int] = None
+    use_res: bool = True
+    use_ln: bool = True
+    causal: bool = False
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or max(self.dim // self.num_heads, 1)
+
+    @property
+    def proj_dim(self) -> int:
+        return self.num_heads * self.hd
+
+    def init(self, rng) -> Params:
+        rngs = split_rngs(rng, ["q", "k", "v", "o", "ln", "res"])
+        p = {
+            "q": glorot_uniform(rngs["q"], (self.dim, self.proj_dim)),
+            "k": glorot_uniform(rngs["k"], (self.dim, self.proj_dim)),
+            "v": glorot_uniform(rngs["v"], (self.dim, self.proj_dim)),
+            "o": glorot_uniform(rngs["o"], (self.proj_dim, self.dim)),
+        }
+        if self.use_ln:
+            p["ln"] = LayerNorm(self.dim).init(rngs["ln"])
+        return p
+
+    def __call__(self, params: Params, x: jax.Array,
+                 kv: Optional[jax.Array] = None,
+                 mask: Optional[jax.Array] = None,
+                 extra_bias: Optional[jax.Array] = None) -> jax.Array:
+        """x: (B, Lq, D); kv: (B, Lk, D) (defaults to x);
+        mask: (B, Lk) valid-key mask; extra_bias: (B, Lq, Lk) additive."""
+        kv = x if kv is None else kv
+        b, lq, _ = x.shape
+        lk = kv.shape[1]
+        h, hd = self.num_heads, self.hd
+        q = bf16_matmul(x, params["q"]).reshape(b, lq, h, hd)
+        k = bf16_matmul(kv, params["k"]).reshape(b, lk, h, hd)
+        v = bf16_matmul(kv, params["v"]).reshape(b, lk, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        if mask is not None:
+            logits = logits + jnp.where(mask, 0.0, NEG_INF)[:, None, None, :]
+        if extra_bias is not None:
+            logits = logits + extra_bias[:, None, :, :]
+        if self.causal:
+            causal = jnp.tril(jnp.ones((lq, lk), bool))
+            logits = jnp.where(causal[None, None], logits, NEG_INF)
+        a = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(b, lq, h * hd)
+        out = bf16_matmul(out, params["o"])
+        if self.use_res:
+            out = out + x
+        if self.use_ln:
+            out = LayerNorm(self.dim)(params["ln"], out)
+        return out
+
+
+@dataclass(frozen=True)
+class TransformerBlock:
+    """MHA + position-wise FFN with residuals (reference SelfAttentionLayer +
+    PositionWiseFeedForwardLayer, behavior_layer.py:382-425)."""
+
+    dim: int
+    num_heads: int = 2
+    ffn_hidden: Tuple[int, ...] = (32,)
+    causal: bool = False
+
+    def init(self, rng) -> Params:
+        rngs = split_rngs(rng, ["mha", "ffn", "ffn_out", "ln"])
+        return {
+            "mha": MultiHeadAttention(self.dim, self.num_heads,
+                                      causal=self.causal).init(rngs["mha"]),
+            "ffn": MLP(self.dim, self.ffn_hidden, activation="relu").init(rngs["ffn"]),
+            "ffn_out": Dense(self.ffn_hidden[-1], self.dim).init(rngs["ffn_out"]),
+            "ln": LayerNorm(self.dim).init(rngs["ln"]),
+        }
+
+    def __call__(self, params: Params, x: jax.Array,
+                 mask: Optional[jax.Array] = None,
+                 extra_bias: Optional[jax.Array] = None) -> jax.Array:
+        h = MultiHeadAttention(self.dim, self.num_heads, causal=self.causal)(
+            params["mha"], x, mask=mask, extra_bias=extra_bias)
+        f, _ = MLP(self.dim, self.ffn_hidden, activation="relu")(params["ffn"], h)
+        f = Dense(self.ffn_hidden[-1], self.dim)(params["ffn_out"], f)
+        return LayerNorm(self.dim)(params["ln"], h + f)
+
+
+# ---------------------------------------------------------------------------
+# DIN target attention
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TargetAttention:
+    """DIN activation unit (reference AttentionUnitLayer +
+    ActivationUnitLayer, behavior_layer.py:53-120).
+
+    score_t = MLP([cand, beh_t, cand − beh_t, cand ⊙ beh_t]); padded steps
+    masked to −1e9; softmax over steps; returns the weighted sum (or the
+    weighted sequence when ``return_seq`` — DIEN's AIGRU input).
+    """
+
+    dim: int
+    hidden: Tuple[int, ...] = (36, 1)
+    activation: str = "sigmoid"
+    softmax_norm: bool = True
+
+    def _mlp(self):
+        return MLP(4 * self.dim, self.hidden[:-1] or (36,), activation=self.activation,
+                   out_dim=1)
+
+    def init(self, rng) -> Params:
+        return {"mlp": self._mlp().init(rng)}
+
+    def scores(self, params: Params, cand: jax.Array, seq: jax.Array,
+               mask: jax.Array) -> jax.Array:
+        """cand: (B, D); seq: (B, L, D); mask: (B, L) → (B, L) weights."""
+        l = seq.shape[1]
+        c = jnp.broadcast_to(cand[:, None, :], seq.shape)
+        feats = jnp.concatenate([c, seq, c - seq, c * seq], axis=-1)
+        s, _ = self._mlp()(params["mlp"], feats)
+        s = s[..., 0]
+        s = jnp.where(mask, s, NEG_INF)
+        if self.softmax_norm:
+            return jax.nn.softmax(s, axis=-1)
+        return jnp.where(mask, jax.nn.sigmoid(s), 0.0)
+
+    def __call__(self, params: Params, cand: jax.Array, seq: jax.Array,
+                 mask: jax.Array, return_seq: bool = False) -> jax.Array:
+        w = self.scores(params, cand, seq, mask)
+        if return_seq:
+            return seq * w[..., None]
+        return jnp.einsum("bl,bld->bd", w, seq)
+
+
+# ---------------------------------------------------------------------------
+# Positional encodings
+# ---------------------------------------------------------------------------
+
+
+def sincos_position_encoding(length: int, dim: int) -> jax.Array:
+    """(L, D) sin/cos encodings (reference PositionalEncodeLayer,
+    behavior_layer.py:244-270)."""
+    pos = np.arange(length)[:, None]
+    i = np.arange(dim)[None, :]
+    angle = pos / np.power(10000.0, (2 * (i // 2)) / dim)
+    enc = np.zeros((length, dim), np.float32)
+    enc[:, 0::2] = np.sin(angle[:, 0::2])
+    enc[:, 1::2] = np.cos(angle[:, 1::2])
+    return jnp.asarray(enc)
+
+
+@dataclass(frozen=True)
+class SessionPositionBias:
+    """DSIN learned bias encodings over (session, position, dim)
+    (reference BiasPositionEncodeLayer, behavior_layer.py:428-458)."""
+
+    session_num: int
+    session_len: int
+    dim: int
+
+    def init(self, rng) -> Params:
+        rngs = split_rngs(rng, ["sess", "pos", "unit"])
+        return {
+            "sess": zeros((self.session_num, 1, 1)),
+            "pos": zeros((1, self.session_len, 1)),
+            "unit": zeros((1, 1, self.dim)),
+        }
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        """x: (B, S, L, D)."""
+        return x + params["sess"][None] + params["pos"][None] + params["unit"][None]

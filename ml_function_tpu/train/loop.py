@@ -1,0 +1,218 @@
+"""Jitted train/eval steps and a host-side fit loop.
+
+The reference trains through Keras ``model.compile(binary_crossentropy,
+adam) / model.fit`` (``example/ctr_example/un_seq.py:61-62``). Here the train
+step is an explicit jitted pure function over a ``TrainState`` pytree:
+
+    loss = mean BCE(logits, labels) + Σ aux losses (DIEN aux / MIMN reg /
+           DTS guide / embedding L2 — the reference's ``model.add_loss``
+           terms, models.py:236, :371, :331)
+
+Optimizer is optax (Adam default, matching the reference's ``adam``); any
+optax GradientTransformation drops in. Batches are static-shape; the last
+partial batch is padded and masked via per-example weights (the reference
+instead resamples rows to fill batches, data_prepare.py:393-406).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.base import Model
+from ..ops.base import Params
+from .metrics import (MetricState, bce_with_logits, compute_auc,
+                      compute_logloss, init_metrics, metrics_summary,
+                      update_metrics)
+
+
+@dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    model_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.model_state, self.step,
+                self.rng), None
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten,
+    lambda aux, children: TrainState(*children))
+
+
+def create_train_state(model: Model, rng: jax.Array,
+                       optimizer: optax.GradientTransformation) -> TrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    params, model_state = model.init(init_rng)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        model_state=model_state,
+        step=jnp.zeros((), jnp.int32),
+        rng=state_rng,
+    )
+
+
+def loss_fn(model: Model, params: Params, model_state, batch, rng,
+            train: bool = True):
+    logits, new_state, aux = model.apply(params, model_state, batch,
+                                         train=train, rng=rng)
+    w = batch.get("weight")
+    per_ex = bce_with_logits(logits, batch["label"])
+    if w is not None:
+        bce = jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        bce = jnp.mean(per_ex)
+    total = bce + sum(aux.values()) if aux else bce
+    return total, (logits, new_state, aux, bce)
+
+
+def make_train_step(model: Model, optimizer: optax.GradientTransformation,
+                    donate: bool = True) -> Callable:
+    def train_step(ts: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(ts.rng)
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(model, p, ts.model_state, batch, step_rng), has_aux=True)
+        (total, (logits, new_state, aux, bce)), grads = grad_fn(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        new_ts = TrainState(params=params, opt_state=opt_state,
+                            model_state=new_state, step=ts.step + 1, rng=rng)
+        out = {"loss": total, "bce": bce, "logits": logits,
+               "label": batch["label"]}
+        return new_ts, out
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: Model) -> Callable:
+    def eval_step(params: Params, model_state, metrics: MetricState, batch
+                  ) -> MetricState:
+        logits, _, _ = model.apply(params, model_state, batch, train=False)
+        return update_metrics(metrics, logits, batch["label"],
+                              batch.get("weight"))
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# host-side data iteration (static shapes, weighted tail batch)
+# ---------------------------------------------------------------------------
+
+
+def iter_batches(data: Dict[str, Any], batch_size: int, *, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False,
+                 pad_last: bool = True) -> Iterator[Dict[str, Any]]:
+    """Yield static-shape batches from a dict-of-arrays dataset.
+
+    ``data`` maps name → (N, …) array, with ``seq`` an optional sub-dict.
+    The tail batch is zero-padded to ``batch_size`` with a ``weight`` vector
+    marking real rows (all batches carry ``weight`` for uniformity).
+    """
+    n = len(data["label"])
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+
+    def take(a, sl):
+        return a[sl]
+
+    for start in range(0, n, batch_size):
+        sl = idx[start:start + batch_size]
+        actual = len(sl)
+        if actual < batch_size:
+            if drop_last or not pad_last:
+                return
+            sl = np.concatenate([sl, np.zeros(batch_size - actual, np.int64)])
+        batch = {}
+        for k, v in data.items():
+            if k == "seq":
+                batch["seq"] = {name: take(a, sl) for name, a in v.items()}
+            else:
+                batch[k] = take(v, sl)
+        w = np.zeros(batch_size, np.float32)
+        w[:actual] = 1.0
+        batch["weight"] = w
+        yield batch
+
+
+def train_test_split(data: Dict[str, Any], test_frac: float = 0.2,
+                     seed: int = 0) -> Tuple[Dict, Dict]:
+    """Index split (reference ``extract_train_test``, data_prepare.py:339-380)."""
+    n = len(data["label"])
+    idx = np.random.default_rng(seed).permutation(n)
+    cut = int(n * (1 - test_frac))
+    tr_idx, te_idx = idx[:cut], idx[cut:]
+
+    def sel(d, ix):
+        out = {}
+        for k, v in d.items():
+            out[k] = sel(v, ix) if isinstance(v, dict) else v[ix]
+        return out
+
+    return sel(data, tr_idx), sel(data, te_idx)
+
+
+@dataclass
+class FitResult:
+    train_metrics: Dict[str, float]
+    eval_metrics: Dict[str, float]
+    steps: int
+    examples_per_sec: float
+
+
+def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
+        batch_size: int = 256, learning_rate: float = 1e-3,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        eval_data: Optional[Dict[str, Any]] = None, seed: int = 0,
+        log_every: int = 0, verbose: bool = False) -> Tuple[TrainState, FitResult]:
+    """Single-device fit (the multi-chip path lives in ``parallel/``)."""
+    opt = optimizer or optax.adam(learning_rate)
+    ts = create_train_state(model, jax.random.PRNGKey(seed), opt)
+    train_step = make_train_step(model, opt)
+    eval_step = make_eval_step(model)
+
+    metrics = init_metrics()
+    update = jax.jit(update_metrics)
+    steps = 0
+    n_examples = 0
+    t0 = None
+    for epoch in range(epochs):
+        for batch in iter_batches(data, batch_size, shuffle=True,
+                                  seed=seed + epoch):
+            batch = {k: (v if not isinstance(v, dict) else v)
+                     for k, v in batch.items()}
+            ts, out = train_step(ts, batch)
+            metrics = update(metrics, out["logits"], out["label"],
+                             batch.get("weight"))
+            steps += 1
+            if steps == 1:
+                jax.block_until_ready(out["loss"])
+                t0 = time.perf_counter()  # exclude compile
+            else:
+                n_examples += batch_size
+            if log_every and steps % log_every == 0 and verbose:
+                print(f"step {steps} loss {float(out['loss']):.4f}")
+    jax.block_until_ready(ts.params)
+    dt = (time.perf_counter() - t0) if t0 else float("inf")
+    eps = n_examples / dt if dt > 0 else 0.0
+
+    ev = {}
+    if eval_data is not None:
+        em = init_metrics()
+        for batch in iter_batches(eval_data, batch_size):
+            em = eval_step(ts.params, ts.model_state, em, batch)
+        ev = metrics_summary(em)
+    return ts, FitResult(train_metrics=metrics_summary(metrics),
+                         eval_metrics=ev, steps=steps, examples_per_sec=eps)
