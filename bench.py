@@ -1,0 +1,194 @@
+"""Headline benchmark: DeepFM training throughput (examples/sec/chip).
+
+Config mirrors BASELINE.json's first target: Criteo-format 13 dense + 26
+sparse fields, embed dim 8, shared-embedding DeepFM, Adam — the reference's
+flagship configuration (``example/ctr_example/un_seq.py`` trains this shape
+with TF2 Keras; it publishes no numbers, SURVEY §6).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured against the reference's own stack (TF2 Keras
+binary-crossentropy Adam train_on_batch) executing the same model/config on
+this host (the only reference-equivalent run available — no GPU here, and the
+reference has no published numbers). The TF number is cached in
+``.bench_tf_baseline.json`` after the first run.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+BATCH = 8192
+N_SPARSE = 26
+N_DENSE = 13
+VOCAB = 100_000
+DIM = 8
+HIDDEN = (256, 128, 64)
+
+
+def bench_jax(steps: int, warmup: int = 5) -> float:
+    """Times N train steps inside ONE jit (lax.fori_loop) and differences two
+    loop lengths — the remote-dispatch latency of the axon tunnel (~18 ms per
+    call) would otherwise swamp the sub-millisecond step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ml_function_tpu.features.schema import criteo_feature_set
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.train.loop import TrainState, create_train_state, loss_fn
+
+    log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
+    fs = criteo_feature_set([VOCAB] * N_SPARSE, n_dense=N_DENSE, embed_dim=DIM)
+    model = get_model("deepfm", fs, hidden=HIDDEN)
+    opt = optax.adam(1e-3)
+    ts = create_train_state(model, jax.random.PRNGKey(0), opt)
+
+    # device-resident synthetic batches, stacked: (n_buf, ...)
+    rng = jax.random.PRNGKey(1)
+    n_buf = 4
+    k1, k2, k3 = jax.random.split(rng, 3)
+    batches = {
+        "dense": jax.random.uniform(k1, (n_buf, BATCH, N_DENSE), jnp.float32),
+        "sparse": jax.random.randint(k2, (n_buf, BATCH, N_SPARSE), 1, VOCAB,
+                                     jnp.int32),
+        "label": jax.random.bernoulli(k3, 0.3, (n_buf, BATCH)).astype(
+            jnp.float32),
+    }
+    jax.block_until_ready(batches)
+
+    def one_step(ts, batch):
+        rng_, step_rng = jax.random.split(ts.rng)
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(model, p, ts.model_state, batch, step_rng),
+            has_aux=True)
+        (total, (_, new_state, _, _)), grads = grad_fn(ts.params)
+        updates, opt_state = opt.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          model_state=new_state, step=ts.step + 1,
+                          rng=rng_), total
+
+    def run_n(n):
+        @jax.jit
+        def f(ts, batches):
+            def body(i, carry):
+                ts, _ = carry
+                b = jax.tree_util.tree_map(lambda x: x[i % n_buf], batches)
+                return one_step(ts, b)
+            ts, last = jax.lax.fori_loop(0, n, body,
+                                         (ts, jnp.zeros((), jnp.float32)))
+            return last
+        v = float(f(ts, batches))      # compile + run, fetch forces sync
+        t0 = time.perf_counter()
+        v = float(f(ts, batches))
+        return time.perf_counter() - t0, v
+
+    short = max(steps // 10, 2)
+    d_short, _ = run_n(short)
+    d_long, loss = run_n(short + steps)
+    per_step = (d_long - d_short) / steps
+    eps = BATCH / per_step
+    log(f"jax: {per_step*1e3:.3f} ms/step (loss {loss:.4f}) -> "
+        f"{eps:,.0f} examples/s/chip")
+    return eps
+
+
+def bench_tf_reference(steps: int = 8, warmup: int = 2) -> float:
+    """Reference-equivalent DeepFM in TF2 Keras (the reference's stack:
+    per-field Embedding + shared-embedding FM & deep towers, BCE + Adam,
+    models.py:80-90) on this host."""
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import numpy as np
+    import tensorflow as tf
+
+    import keras
+    from keras import layers, ops
+
+    inp_dense = keras.Input((N_DENSE,))
+    inp_sparse = keras.Input((N_SPARSE,), dtype="int32")
+    e = layers.Embedding(VOCAB * N_SPARSE, DIM)(inp_sparse)   # (B, F, D)
+    lin_e = layers.Embedding(VOCAB * N_SPARSE, 1)(inp_sparse)
+
+    class FMHead(layers.Layer):
+        def call(self, e, lin_e, dense):
+            s = ops.sum(e, axis=1)
+            fm = 0.5 * ops.sum(ops.square(s) - ops.sum(ops.square(e), 1), -1)
+            lin = ops.sum(lin_e[..., 0], axis=1)
+            deep = ops.concatenate(
+                [ops.reshape(e, (-1, N_SPARSE * DIM)), dense], -1)
+            return fm, lin, deep
+
+    fm, lin, deep = FMHead()(e, lin_e, inp_dense)
+    for h in HIDDEN:
+        deep = layers.Dense(h, activation="relu")(deep)
+    deep = layers.Dense(1)(deep)
+
+    class Score(layers.Layer):
+        def call(self, fm, lin, deep):
+            return ops.sigmoid(fm + lin + deep[:, 0])
+
+    out = Score()(fm, lin, deep)
+    m = keras.Model([inp_dense, inp_sparse], out)
+    m.compile(optimizer="adam", loss="binary_crossentropy")
+
+    rng = np.random.default_rng(0)
+    xd = rng.uniform(0, 1, (BATCH, N_DENSE)).astype("float32")
+    xs = rng.integers(1, VOCAB, (BATCH, N_SPARSE), dtype=np.int32)
+    y = rng.integers(0, 2, BATCH).astype("float32")
+
+    for _ in range(warmup):
+        m.train_on_batch([xd, xs], y)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        m.train_on_batch([xd, xs], y)
+    dt = time.perf_counter() - t0
+    eps = steps * BATCH / dt
+    log(f"tf reference: {steps} steps in {dt:.3f}s -> {eps:,.0f} examples/s")
+    return eps
+
+
+def get_tf_baseline(cache=".bench_tf_baseline.json") -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), cache)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["examples_per_sec"]
+    try:
+        eps = bench_tf_reference()
+    except Exception as e:  # TF missing/broken: report vs 0 sentinel
+        log(f"tf baseline failed: {e}")
+        return 0.0
+    with open(path, "w") as f:
+        json.dump({"examples_per_sec": eps, "config": {
+            "batch": BATCH, "n_sparse": N_SPARSE, "vocab": VOCAB,
+            "dim": DIM, "hidden": list(HIDDEN), "host": "cpu"}}, f)
+    return eps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--skip-tf", action="store_true")
+    args = ap.parse_args()
+
+    eps = bench_jax(args.steps)
+    tf_eps = 0.0 if args.skip_tf else get_tf_baseline()
+    vs = eps / tf_eps if tf_eps > 0 else 0.0
+    print(json.dumps({
+        "metric": "deepfm_criteo_train_throughput",
+        "value": round(eps, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

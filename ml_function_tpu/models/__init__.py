@@ -4,6 +4,7 @@
 from .base import Model
 from .interaction import (AFM, DCN, NFM, PNN, AutoInt, DeepCross, DeepFM, FM,
                           WideDeep, xDeepFM)
+from .longseq import DTS, MIMN, SIM
 from .sequence import BST, DIEN, DIN, DSIN, SeqFM
 
 MODEL_REGISTRY = {
@@ -22,6 +23,9 @@ MODEL_REGISTRY = {
     "bst": BST,
     "dsin": DSIN,
     "seqfm": SeqFM,
+    "dts": DTS,
+    "mimn": MIMN,
+    "sim": SIM,
 }
 
 
@@ -35,4 +39,4 @@ def get_model(name: str, feature_set, **hp) -> Model:
 
 __all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "PNN", "DeepCross",
            "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM", "AutoInt",
-           "DIN", "DIEN", "BST", "DSIN", "SeqFM"]
+           "DIN", "DIEN", "BST", "DSIN", "SeqFM", "DTS", "MIMN", "SIM"]

@@ -65,20 +65,40 @@ class FusedEmbedding:
         return p
 
     # ---- lookups --------------------------------------------------------
+    #
+    # When a mesh with model-axis > 1 is active (parallel.context), lookups
+    # route through the collective mask+psum exchange over row-sharded
+    # tables; otherwise they are a single local gather.
+
+    def _sharded(self):
+        from ..parallel import context as pctx
+        if pctx.model_axis_size() > 1:
+            from ..parallel.embedding import ShardedLookup
+            return ShardedLookup(pctx.active_mesh(), self.feature_set)
+        return None
 
     def sparse(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F, D) cross embeddings. One gather for all fields."""
+        sh = self._sharded()
+        if sh is not None:
+            return sh.sparse(params["table"], ids)
         offs = jnp.asarray(self.feature_set.sparse_offsets())
         return jnp.take(params["table"], ids + offs[None, :], axis=0)
 
     def sparse_linear(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F) first-order weights."""
+        sh = self._sharded()
+        if sh is not None:
+            return sh.sparse_linear(params["linear"], ids)
         offs = jnp.asarray(self.feature_set.sparse_offsets())
         return jnp.take(params["linear"], ids + offs[None, :], axis=0)[..., 0]
 
     def seq(self, params: Params, name: str, ids: jax.Array
             ) -> Tuple[jax.Array, jax.Array]:
         """(B, L) ids → ((B, L, D) embeddings with pad rows zeroed, (B, L) mask)."""
+        sh = self._sharded()
+        if sh is not None:
+            return sh.seq(params["table"], name, ids)
         off = self.feature_set.seq_offset(name)
         mask = ids != 0
         emb = jnp.take(params["table"], ids + off, axis=0)

@@ -1,0 +1,43 @@
+"""Sharding context: routes embedding lookups through collectives when a
+mesh with a non-trivial ``model`` axis is active.
+
+Models call ``FusedEmbedding.sparse/seq`` unchanged; under
+``with sharded_embeddings(mesh): ...`` those lookups run the shard_map
+mask+psum exchange (``parallel/embedding.py``) instead of a local gather.
+One model code path, two execution modes — the TPU-native analogue of the
+reference's cuDNN-vs-CPU backend selection (rnn_demo.py:486-501), but for
+the sharded embedding store.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Optional
+
+from jax.sharding import Mesh
+
+from .mesh import MODEL_AXIS
+
+_state = threading.local()
+
+
+def active_mesh() -> Optional[Mesh]:
+    return getattr(_state, "mesh", None)
+
+
+def model_axis_size() -> int:
+    mesh = active_mesh()
+    if mesh is None:
+        return 1
+    return mesh.shape.get(MODEL_AXIS, 1)
+
+
+@contextlib.contextmanager
+def sharded_embeddings(mesh: Mesh):
+    prev = getattr(_state, "mesh", None)
+    _state.mesh = mesh
+    try:
+        yield
+    finally:
+        _state.mesh = prev

@@ -15,6 +15,11 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# The image's sitecustomize registers the TPU ('axon') backend and overrides
+# JAX_PLATFORMS via jax.config — force CPU here so the 8-device virtual mesh
+# is available and tests don't contend for the single TPU chip.
+jax.config.update("jax_platforms", "cpu")
+
 # Tests verify numerics against NumPy references — use full precision for
 # jnp matmuls/einsums (library blocks that intend bf16 cast explicitly).
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -45,11 +45,11 @@ def test_seq_model_forward_and_grad(beh_data, name):
 
 
 def test_din_learns():
-    fs, data = make_behavior_data(n_rows=4000, n_items=60, n_cates=10,
-                                  seq_len=10, embed_dim=8, seed=3)
+    fs, data = make_behavior_data(n_rows=4000, n_items=40, n_cates=10,
+                                  seq_len=12, embed_dim=8, seed=3)
     train, test = train_test_split(data, 0.2, seed=3)
     model = get_model("din", fs, hidden=(64, 32))
-    _, res = fit(model, train, epochs=5, batch_size=128, learning_rate=3e-3,
+    _, res = fit(model, train, epochs=10, batch_size=128, learning_rate=1e-2,
                  eval_data=test)
     assert res.eval_metrics["auc"] > 0.62, res.eval_metrics
 
