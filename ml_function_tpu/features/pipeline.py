@@ -1,0 +1,109 @@
+"""End-to-end input pipelines: files → FeatureSet + static-shape arrays.
+
+Counterpart of the reference's per-example-script data wrangling
+(``example/ctr_example/un_seq.py:36-54``, ``seq.py:39-44``) as reusable
+pipelines. No tf.data: batches are NumPy arrays fed to jitted steps (the
+reference's ``from_tensor_slices().shuffle().repeat().batch().prefetch()``
+pipeline, data_prepare.py:335-337, adds nothing on TPU where the step is
+device-bound and batches are static).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .encoders import DenseEncoder, SeqEncoder, SparseEncoder, hard_search, sessionize
+from .schema import DenseSpec, FeatureSet, SeqSpec, SparseSpec
+
+
+def criteo_csv_pipeline(path: str, n_dense: int = 13, n_sparse: int = 26,
+                        embed_dim: int = 8, hash_features: bool = False,
+                        hash_buckets: int = 1 << 20,
+                        label_col: str = "label",
+                        sep: str = "\t") -> Tuple[FeatureSet, Dict]:
+    """Criteo-format CSV/TSV (label, I1..I13, C1..C26 — the reference's
+    un_seq layout, un_seq.py:39-40) → (FeatureSet, arrays)."""
+    import pandas as pd
+
+    df = pd.read_csv(path, sep=sep)
+    dense_cols = [f"I{i+1}" for i in range(n_dense)]
+    sparse_cols = [f"C{i+1}" for i in range(n_sparse)]
+    if label_col not in df.columns:  # headerless criteo tsv
+        names = [label_col] + dense_cols + sparse_cols
+        df = pd.read_csv(path, sep=sep, names=names)
+
+    de = DenseEncoder(log1p=True).fit(df, dense_cols)
+    se = SparseEncoder(mode="hash" if hash_features else "vocab",
+                       hash_buckets=hash_buckets).fit(df, sparse_cols)
+    fs = FeatureSet(
+        dense=tuple(DenseSpec(c) for c in dense_cols),
+        sparse=tuple(SparseSpec(c, vocab_size=se.vocab_size(c), dim=embed_dim)
+                     for c in sparse_cols),
+    )
+    data = {
+        "dense": de.transform(df, dense_cols),
+        "sparse": se.transform(df, sparse_cols),
+        "label": df[label_col].to_numpy(np.float32),
+    }
+    return fs, data
+
+
+def behavior_csv_pipeline(path: str, *, item_col: str = "item",
+                          cate_col: str = "cate",
+                          hist_item_col: str = "hist_item",
+                          hist_cate_col: str = "hist_cate",
+                          seq_len: int = 90, embed_dim: int = 8,
+                          label_col: str = "label", sep: str = ",",
+                          session_shape: Optional[Tuple[int, int]] = None,
+                          with_hard_search: bool = False
+                          ) -> Tuple[FeatureSet, Dict]:
+    """Behavior-sequence CSV ('a|b|c' history strings — the reference's seq
+    layout, seq.py:39-41 / data_prepare.py:150-217) → (FeatureSet, arrays).
+
+    ``with_hard_search`` adds a ``hist_item_hard`` sequence filtered to the
+    candidate's category (SIM GSU stage, data_prepare.py:136-147).
+    """
+    import pandas as pd
+
+    df = pd.read_csv(path, sep=sep)
+    item_enc = SeqEncoder(max_len=seq_len).fit(df[hist_item_col])
+    item_enc.fit(df[item_col].astype(str))
+    cate_enc = SeqEncoder(max_len=seq_len).fit(df[hist_cate_col])
+    cate_enc.fit(df[cate_col].astype(str))
+
+    hist_item = item_enc.transform(df[hist_item_col])
+    hist_cate = cate_enc.transform(df[hist_cate_col])
+    cand_item = item_enc.transform(df[item_col].astype(str))[:, 0]
+    cand_cate = cate_enc.transform(df[cate_col].astype(str))[:, 0]
+
+    if session_shape:
+        hist_item = sessionize(hist_item, *session_shape)
+        hist_cate = sessionize(hist_cate, *session_shape)
+        seq_len = session_shape[0] * session_shape[1]
+
+    iv, cv = item_enc.vocab_size, cate_enc.vocab_size
+    seqs = [SeqSpec("hist_item", iv, seq_len, vocab_name="item", dim=embed_dim,
+                    session_shape=session_shape),
+            SeqSpec("hist_cate", cv, seq_len, vocab_name="cate", dim=embed_dim,
+                    session_shape=session_shape)]
+    seq_data = {"hist_item": hist_item, "hist_cate": hist_cate}
+    if with_hard_search:
+        seq_data["hist_item_hard"] = hard_search(hist_item, hist_cate,
+                                                 cand_cate[:, None])
+        seqs.append(SeqSpec("hist_item_hard", iv, seq_len, vocab_name="item",
+                            dim=embed_dim))
+
+    fs = FeatureSet(
+        sparse=(SparseSpec("item", iv, vocab_name="item", dim=embed_dim),
+                SparseSpec("cate", cv, vocab_name="cate", dim=embed_dim)),
+        seq=tuple(seqs),
+    )
+    data = {
+        "dense": np.zeros((len(df), 0), np.float32),
+        "sparse": np.stack([cand_item, cand_cate], axis=1).astype(np.int32),
+        "seq": seq_data,
+        "label": df[label_col].to_numpy(np.float32),
+    }
+    return fs, data

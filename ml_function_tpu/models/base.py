@@ -48,15 +48,19 @@ def embed_inputs(fe: FusedEmbedding, emb_params: Params, batch,
 
     Returns dict with dense (B, Nd), emb (B, F, D), linear (B, F) and the
     embedding L2 aux term.
+
+    ``behavior_inputs`` returns (cand, beh, mask, l2, emb): the full gathered
+    field embeddings ride along so models never gather twice.
     """
     out: Dict[str, Any] = {"dense": batch.get("dense")}
     ids = batch["sparse"]
-    out["emb"] = fe.sparse(emb_params, ids)
+    emb, lin = fe.sparse_all(emb_params, ids)  # ONE gather for cross + linear
+    out["emb"] = emb
     if with_linear:
-        out["linear"] = fe.sparse_linear(emb_params, ids)
+        out["linear"] = lin
     if l2:
-        out["l2"] = fe.l2_loss(emb_params, sparse_ids=ids,
-                               seq_ids=batch.get("seq"))
+        # computed from the gathered values — no second lookup
+        out["l2"] = fe.l2_from_sparse(emb)
     else:
         out["l2"] = jnp.asarray(0.0)
     return out
@@ -77,12 +81,14 @@ def behavior_inputs(fe: FusedEmbedding, emb_params: Params, batch,
     emb = fe.sparse(emb_params, batch["sparse"])  # (B, F, D)
     cand = jnp.concatenate([emb[:, c, :] for c in cand_cols], axis=-1)
     seqs, mask = [], None
+    l2 = fe.l2_from_sparse(emb)
     for name in behavior:
         e, m = fe.seq(emb_params, name, batch["seq"][name])
         seqs.append(e)
         mask = m if mask is None else (mask | m)
+        l2 = l2 + fe.l2_from_seq(name, e)
     beh = jnp.concatenate(seqs, axis=-1)
-    return cand, beh, mask
+    return cand, beh, mask, l2, emb
 
 
 def stateless(name: str, fs: FeatureSet, init_fn, fwd):

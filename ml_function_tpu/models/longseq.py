@@ -74,8 +74,8 @@ def DTS(fs: FeatureSet,
                 "z0": normal_init(rngs["z0"], (z_dim,), 0.05)}
 
     def fwd(params, batch, train):
-        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
-                                          candidate, behavior)
+        cand, beh, mask, l2, emb = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
         b = beh.shape[0]
         tkey = behavior[0] + "_time"
         if "seq" in batch and tkey in batch["seq"]:
@@ -110,16 +110,12 @@ def DTS(fs: FeatureSet,
 
         pooled = attn(params["attn"], cand, decoded, mask)
         parts = [cand, pooled]
-        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
-                              candidate)
+        other = _other_sparse(fs, emb, candidate)
         if other is not None:
             parts.append(other)
         if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
             parts.append(batch["dense"])
         logit, _ = mlp(params["mlp"], jnp.concatenate(parts, axis=-1))
-        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
-                        seq_ids={k: v for k, v in batch.get("seq", {}).items()
-                                 if not k.endswith("_time")})
         return logit[:, 0], {"guide_loss": guide_weight * guide, "emb_l2": l2}
 
     return stateless("DTS", fs, init_fn, fwd)
@@ -193,8 +189,8 @@ def MIMN(fs: FeatureSet,
         return jax.nn.softmax(jax.nn.softplus(beta)[:, None] * sim, axis=-1)
 
     def fwd(params, batch, train):
-        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
-                                          candidate, behavior)
+        cand, beh, mask, l2, emb = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
         b = beh.shape[0]
         mem0 = jnp.broadcast_to(params["mem0"], (b, M, kd))
         ch0 = jnp.broadcast_to(params["ch0"], (b, channels, kd))
@@ -248,15 +244,12 @@ def MIMN(fs: FeatureSet,
         mem_read = attn_mem(params["attn_mem"], cand, mem, slot_mask)
         ch_read = attn_ch(params["attn_ch"], cand, ch, ch_mask)
         parts = [cand, mem_read, ch_read, h]
-        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
-                              candidate)
+        other = _other_sparse(fs, emb, candidate)
         if other is not None:
             parts.append(other)
         if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
             parts.append(batch["dense"])
         logit, _ = mlp(params["mlp"], jnp.concatenate(parts, axis=-1))
-        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
-                        seq_ids=batch.get("seq"))
         return logit[:, 0], {"util_reg": reg_weight * reg, "emb_l2": l2}
 
     return stateless("MIMN", fs, init_fn, fwd)
@@ -304,8 +297,8 @@ def SIM(fs: FeatureSet,
 
     def fwd(params, batch, train):
         emb_p = params["dien"]["embedding"]
-        cand, long_beh, long_mask = behavior_inputs(fe, emb_p, batch,
-                                                    candidate, long_behavior)
+        cand, long_beh, long_mask, l2_long, emb = behavior_inputs(
+            fe, emb_p, batch, candidate, long_behavior)
         if search == "soft":
             scores = jnp.einsum("bld,bd->bl", long_beh, cand)
             scores = jnp.where(long_mask, scores, -jnp.inf)
@@ -322,19 +315,19 @@ def SIM(fs: FeatureSet,
         long_term = attn(params["attn"], cand, esu, safe_mask)
         long_term = long_term * any_valid[:, None]
 
-        s_cand, s_beh, s_mask = behavior_inputs(fe, emb_p, batch, candidate,
-                                                behavior)
+        s_cand, s_beh, s_mask, l2_short, _ = behavior_inputs(
+            fe, emb_p, batch, candidate, behavior)
         short_term, aux = dien.interest_core(params["dien"], s_cand, s_beh,
                                              s_mask)
         parts = [cand, long_term, short_term]
-        other = _other_sparse(fs, fe.sparse(emb_p, batch["sparse"]), candidate)
+        other = _other_sparse(fs, emb, candidate)
         if other is not None:
             parts.append(other)
         if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
             parts.append(batch["dense"])
         logit, _ = mlp(params["mlp"], jnp.concatenate(parts, axis=-1))
-        l2 = fe.l2_loss(emb_p, sparse_ids=batch["sparse"],
-                        seq_ids=batch.get("seq"))
+        # both behavior_inputs calls count the sparse-field l2 — subtract one
+        l2 = l2_long + l2_short - fe.l2_from_sparse(emb)
         return logit[:, 0], {"aux_loss": aux_weight * aux, "emb_l2": l2}
 
     return stateless("SIM", fs, init_fn, fwd)

@@ -69,21 +69,18 @@ def DIN(fs: FeatureSet,
                 "mlp": mlp.init(rngs["mlp"])}
 
     def fwd(params, batch, train):
-        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
-                                          candidate, behavior)
+        cand, beh, mask, l2, emb = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
         pooled_sum = masked_sum_pool(beh, mask)
         pooled_att = attn(params["attn"], cand, beh, mask)
         parts = [cand, pooled_sum, pooled_att]
-        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
-                              candidate)
+        other = _other_sparse(fs, emb, candidate)
         if other is not None:
             parts.append(other)
         if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
             parts.append(batch["dense"])
         h = jnp.concatenate(parts, axis=-1)
         logit, _ = mlp(params["mlp"], h)
-        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
-                        seq_ids=batch.get("seq"))
         return logit[:, 0], {"emb_l2": l2}
 
     return stateless("DIN", fs, init_fn, fwd)
@@ -155,20 +152,17 @@ def DIEN(fs: FeatureSet,
         return final, aux
 
     def fwd(params, batch, train):
-        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
-                                          candidate, behavior)
+        cand, beh, mask, l2, emb = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
         final, aux = interest(params, cand, beh, mask)
         parts = [cand, final]
-        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
-                              candidate)
+        other = _other_sparse(fs, emb, candidate)
         if other is not None:
             parts.append(other)
         if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
             parts.append(batch["dense"])
         h = jnp.concatenate(parts, axis=-1)
         logit, _ = mlp(params["mlp"], h)
-        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
-                        seq_ids=batch.get("seq"))
         return logit[:, 0], {"aux_loss": aux_weight * aux, "emb_l2": l2}
 
     model = stateless("DIEN", fs, init_fn, fwd)
@@ -204,8 +198,8 @@ def BST(fs: FeatureSet,
         return p
 
     def fwd(params, batch, train):
-        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
-                                          candidate, behavior)
+        cand, beh, mask, l2, emb = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
         seq = jnp.concatenate([beh, cand[:, None, :]], axis=1)  # (B, L+1, kD)
         full_mask = jnp.concatenate(
             [mask, jnp.ones((mask.shape[0], 1), bool)], axis=1)
@@ -214,16 +208,13 @@ def BST(fs: FeatureSet,
             seq = block(params[f"block{i}"], seq, mask=full_mask)
         pooled = masked_mean_pool(seq, full_mask)
         parts = [pooled]
-        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
-                              candidate)
+        other = _other_sparse(fs, emb, candidate)
         if other is not None:
             parts.append(other)
         if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
             parts.append(batch["dense"])
         h = jnp.concatenate(parts, axis=-1)
         logit, _ = mlp(params["mlp"], h)
-        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
-                        seq_ids=batch.get("seq"))
         return logit[:, 0], {"emb_l2": l2}
 
     return stateless("BST", fs, init_fn, fwd)
@@ -267,8 +258,8 @@ def DSIN(fs: FeatureSet,
         return p
 
     def fwd(params, batch, train):
-        cand, beh, mask = behavior_inputs(fe, params["embedding"], batch,
-                                          candidate, behavior)
+        cand, beh, mask, l2, emb = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
         b = beh.shape[0]
         sess = beh.reshape(b, S, Ls, kd)
         sess = bias(params["bias"], sess)
@@ -288,16 +279,13 @@ def DSIN(fs: FeatureSet,
         pooled_i = attn_i(params["attn_i"], cand, interests, sess_valid)
         pooled_l = attn_l(params["attn_l"], cand_l, lstm_out, sess_valid)
         parts = [cand, pooled_i, pooled_l]
-        other = _other_sparse(fs, fe.sparse(params["embedding"], batch["sparse"]),
-                              candidate)
+        other = _other_sparse(fs, emb, candidate)
         if other is not None:
             parts.append(other)
         if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
             parts.append(batch["dense"])
         h = jnp.concatenate(parts, axis=-1)
         logit, _ = mlp(params["mlp"], h)
-        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
-                        seq_ids=batch.get("seq"))
         return logit[:, 0], {"emb_l2": l2}
 
     return stateless("DSIN", fs, init_fn, fwd)
@@ -335,6 +323,7 @@ def SeqFM(fs: FeatureSet,
         emb = fe.sparse(params["embedding"], batch["sparse"])  # (B,F,D)
         seq_e, mask = fe.seq(params["embedding"], behavior[0],
                              batch["seq"][behavior[0]])
+        l2 = fe.l2_from_sparse(emb) + fe.l2_from_seq(behavior[0], seq_e)
         b = emb.shape[0]
         # static view: field self-attention
         v_static = jnp.mean(mha(params["static"], emb), axis=1)
@@ -361,8 +350,6 @@ def SeqFM(fs: FeatureSet,
         logit = head(params["head"], h)[:, 0] + params["bias"]
         lin = jnp.sum(fe.sparse_linear(params["embedding"], batch["sparse"]),
                       axis=1)
-        l2 = fe.l2_loss(params["embedding"], sparse_ids=batch["sparse"],
-                        seq_ids=batch.get("seq"))
         return logit + lin, {"emb_l2": l2}
 
     return stateless("SeqFM", fs, init_fn, fwd)

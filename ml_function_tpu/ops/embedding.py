@@ -2,26 +2,32 @@
 
 The reference builds one ``tf.keras.layers.Embedding`` per feature inside
 ``SparseEmbed`` (``kon/model/ctr_model/layer/interactive_layer/interactive_layer.py:189-247``),
-which on TPU would mean F tiny gathers and F tiny tables. Here all vocabs are
-concatenated into ONE ``(total_vocab, D)`` table (+ a ``(total_vocab, 1)``
-linear table for first-order terms), and a whole ``(B, F)`` id matrix is
-embedded with a single gather — one HBM-friendly op that XLA can fuse, and the
-unit of row-sharding for the multi-host path (``parallel/embedding.py``).
+which on TPU would mean F tiny gathers and F tiny tables. Here ALL vocabs are
+concatenated into ONE table, and — because TPU gather cost is per-ROW, not
+per-byte — the first-order ("linear") weights are fused in as an extra
+column: table shape (total_vocab, D+1). A whole (B, F) id matrix is embedded
+with a single gather that yields both the cross embeddings and the linear
+terms; the table is also the unit of row-sharding for the multi-host path
+(``parallel/embedding.py``).
+
+Backward: XLA's TPU scatter-add serializes duplicate ids (~40 ns/row), so
+lookups go through ``fused_gather`` (``ops/kernels/embedding_grad.py``) — a
+custom-vjp gather whose backward is sort + segmented-combine + a Pallas
+merge-scatter, producing the dense grad at near-memcpy speed.
 
 Semantics preserved from the reference:
 - id 0 of each vocab is the padding/unknown row (``mask_zero``,
   interactive_layer.py:205): sequence lookups return a mask and the padding
   row is zeroed at use sites;
 - ``pre_weight`` warm-start (interactive_layer.py:216): ``init`` accepts
-  per-vocab prebuilt matrices;
+  per-vocab prebuilt matrices (applied to the cross columns);
 - per-feature L2 on embeddings (``emb_reg``, default 1e-8,
-  data_prepare.py:96): exposed as ``l2_loss`` computed on the gathered rows
-  (equivalent to Keras activity-style regularization on used rows and far
-  cheaper than regularizing the full table every step).
+  data_prepare.py:96): computed from gathered rows via ``l2_from_*``.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Mapping, Optional, Tuple
 
@@ -32,11 +38,27 @@ import numpy as np
 from ..features.schema import FeatureSet
 from .base import Params, normal_init, split_rngs
 
+# ML_FUNCTION_TPU_MERGE_SCATTER=1 opts in to the Pallas merge-scatter
+# backward (ops/kernels/embedding_grad.py). Default is XLA's scatter-add —
+# measured faster at Criteo shapes (the one-hot tiles blow VMEM); the kernel
+# remains for large-D tables where it wins.
+_USE_MERGE_SCATTER = os.environ.get("ML_FUNCTION_TPU_MERGE_SCATTER") == "1"
+
+
+def _gather(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
+    if _USE_MERGE_SCATTER:
+        from .kernels.embedding_grad import fused_gather
+        return fused_gather(table, flat_ids)
+    from .kernels.embedding_grad import split_gather
+    # backward scatters in width-8 column groups (v5e scatter is ~3× slower
+    # at widths ∉ {1..8}; the fused table is D+1 wide)
+    return split_gather(table, flat_ids, 8)
+
 
 @dataclass(frozen=True)
 class FusedEmbedding:
-    """One fused cross-embedding table + one fused linear table over a
-    FeatureSet's vocabs."""
+    """One fused table over a FeatureSet's vocabs: (V, D) cross embeddings,
+    plus a fused linear column (V, D+1 total) when ``with_linear``."""
 
     feature_set: FeatureSet
     with_linear: bool = True
@@ -45,30 +67,27 @@ class FusedEmbedding:
     def dim(self) -> int:
         return self.feature_set.embed_dim
 
+    @property
+    def width(self) -> int:
+        return self.dim + (1 if self.with_linear else 0)
+
     def init(self, rng, pre_weight: Optional[Mapping[str, np.ndarray]] = None) -> Params:
         fs = self.feature_set
-        rngs = split_rngs(rng, ["table", "linear"])
-        table = normal_init(rngs["table"], (fs.total_vocab, self.dim),
-                            stddev=0.05)
+        table = normal_init(rng, (fs.total_vocab, self.width), stddev=0.05)
         if pre_weight:
             offs = fs.vocab_offsets
-            rows = []
-            tab = np.asarray(table)
+            tab = np.asarray(table).copy()
             for name, w in pre_weight.items():
                 w = np.asarray(w, dtype=np.float32)
-                tab[offs[name]:offs[name] + w.shape[0], :] = w
+                tab[offs[name]:offs[name] + w.shape[0], :w.shape[1]] = w
             table = jnp.asarray(tab)
-        p = {"table": table}
-        if self.with_linear:
-            p["linear"] = normal_init(rngs["linear"], (fs.total_vocab, 1),
-                                      stddev=0.05)
-        return p
+        return {"table": table}
 
     # ---- lookups --------------------------------------------------------
     #
     # When a mesh with model-axis > 1 is active (parallel.context), lookups
     # route through the collective mask+psum exchange over row-sharded
-    # tables; otherwise they are a single local gather.
+    # tables; otherwise a single custom-vjp gather.
 
     def _sharded(self):
         from ..parallel import context as pctx
@@ -77,49 +96,72 @@ class FusedEmbedding:
             return ShardedLookup(pctx.active_mesh(), self.feature_set)
         return None
 
-    def sparse(self, params: Params, ids: jax.Array) -> jax.Array:
-        """(B, F) ids → (B, F, D) cross embeddings. One gather for all fields."""
+    def _rows(self, params: Params, global_ids: jax.Array) -> jax.Array:
+        """(…,) global row ids → (…, width) rows (collective or local)."""
         sh = self._sharded()
         if sh is not None:
-            return sh.sparse(params["table"], ids)
+            return sh.lookup(params["table"], global_ids)
+        flat = global_ids.reshape(-1)
+        rows = _gather(params["table"], flat)
+        return rows.reshape(global_ids.shape + (self.width,))
+
+    def _global_sparse_ids(self, ids: jax.Array) -> jax.Array:
         offs = jnp.asarray(self.feature_set.sparse_offsets())
-        return jnp.take(params["table"], ids + offs[None, :], axis=0)
+        return ids + offs[None, :]
+
+    def sparse_all(self, params: Params, ids: jax.Array
+                   ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """(B, F) ids → ((B, F, D) cross, (B, F) linear or None). ONE gather."""
+        rows = self._rows(params, self._global_sparse_ids(ids))
+        if self.with_linear:
+            return rows[..., :self.dim], rows[..., self.dim]
+        return rows, None
+
+    def sparse(self, params: Params, ids: jax.Array) -> jax.Array:
+        """(B, F) ids → (B, F, D) cross embeddings."""
+        return self.sparse_all(params, ids)[0]
 
     def sparse_linear(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F) first-order weights."""
-        sh = self._sharded()
-        if sh is not None:
-            return sh.sparse_linear(params["linear"], ids)
-        offs = jnp.asarray(self.feature_set.sparse_offsets())
-        return jnp.take(params["linear"], ids + offs[None, :], axis=0)[..., 0]
+        rows = self._rows(params, self._global_sparse_ids(ids))
+        return rows[..., self.dim]
 
     def seq(self, params: Params, name: str, ids: jax.Array
             ) -> Tuple[jax.Array, jax.Array]:
         """(B, L) ids → ((B, L, D) embeddings with pad rows zeroed, (B, L) mask)."""
-        sh = self._sharded()
-        if sh is not None:
-            return sh.seq(params["table"], name, ids)
         off = self.feature_set.seq_offset(name)
         mask = ids != 0
-        emb = jnp.take(params["table"], ids + off, axis=0)
-        return emb * mask[..., None], mask
+        rows = self._rows(params, ids + off)[..., :self.dim]
+        return rows * mask[..., None], mask
 
     # ---- regularization -------------------------------------------------
 
+    def l2_from_sparse(self, emb: jax.Array) -> jax.Array:
+        """emb_l2-weighted ||rows||² from ALREADY-GATHERED (B, F, D) values —
+        no second lookup (equivalent to regularizing the used rows, as the
+        reference's per-embedding ``emb_reg`` does, interactive_layer.py:229)."""
+        coef = jnp.asarray([s.emb_l2 for s in self.feature_set.sparse],
+                           jnp.float32)
+        return jnp.sum(coef * jnp.sum(jnp.square(emb), axis=(0, 2)))
+
+    def l2_from_seq(self, name: str, emb: jax.Array) -> jax.Array:
+        """Same for a gathered (B, L, D) sequence (pad rows already zeroed)."""
+        return self.feature_set.seq_spec(name).emb_l2 * jnp.sum(jnp.square(emb))
+
     def l2_loss(self, params: Params, sparse_ids: Optional[jax.Array] = None,
                 seq_ids: Optional[Mapping[str, jax.Array]] = None) -> jax.Array:
-        """Sum of emb_l2 * ||rows used this step||^2 (per-spec coefficients)."""
+        """Sum of emb_l2 * ||rows used this step||^2 (per-spec coefficients).
+
+        NOTE: re-gathers; prefer l2_from_sparse/l2_from_seq on values you
+        already looked up (the hot-path models do)."""
         fs = self.feature_set
         total = jnp.asarray(0.0, jnp.float32)
         if sparse_ids is not None and len(fs.sparse):
-            emb = self.sparse(params, sparse_ids)  # (B,F,D)
-            coef = jnp.asarray([s.emb_l2 for s in fs.sparse], jnp.float32)
-            total = total + jnp.sum(coef * jnp.sum(jnp.square(emb), axis=(0, 2)))
+            total = total + self.l2_from_sparse(self.sparse(params, sparse_ids))
         if seq_ids:
             for name, ids in seq_ids.items():
-                spec = fs.seq_spec(name)
                 emb, _ = self.seq(params, name, ids)
-                total = total + spec.emb_l2 * jnp.sum(jnp.square(emb))
+                total = total + self.l2_from_seq(name, emb)
         return total
 
 

@@ -89,7 +89,9 @@ class ShardedLookup:
 
     # --- lookups --------------------------------------------------------
 
-    def _lookup(self, table: jax.Array, global_ids: jax.Array) -> jax.Array:
+    def lookup(self, table: jax.Array, global_ids: jax.Array) -> jax.Array:
+        """(…,) global row ids → (…, width) rows via mask+psum collective.
+        FusedEmbedding handles offsets/masks/column-slicing on top."""
         fn = jax.shard_map(
             _local_lookup, mesh=self.mesh,
             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
@@ -97,18 +99,8 @@ class ShardedLookup:
         )
         return fn(table, global_ids)
 
+    # kept for direct use in tests/tools
     def sparse(self, table: jax.Array, ids: jax.Array) -> jax.Array:
-        """(B, F) ids → (B, F, D) via one collective lookup."""
+        """(B, F) ids → (B, F, width) via one collective lookup."""
         offs = jnp.asarray(self.feature_set.sparse_offsets())
-        return self._lookup(table, ids + offs[None, :])
-
-    def sparse_linear(self, linear_table: jax.Array, ids: jax.Array) -> jax.Array:
-        offs = jnp.asarray(self.feature_set.sparse_offsets())
-        return self._lookup(linear_table, ids + offs[None, :])[..., 0]
-
-    def seq(self, table: jax.Array, name: str, ids: jax.Array
-            ) -> Tuple[jax.Array, jax.Array]:
-        off = self.feature_set.seq_offset(name)
-        mask = ids != 0
-        emb = self._lookup(table, ids + off)
-        return emb * mask[..., None], mask
+        return self.lookup(table, ids + offs[None, :])

@@ -37,7 +37,7 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 def _is_table_path(path) -> bool:
     keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-    return any(k in ("table", "linear") for k in keys) and "embedding" in keys
+    return "table" in keys and "embedding" in keys
 
 
 def param_spec_tree(params: Params) -> Any:

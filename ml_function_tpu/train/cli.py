@@ -1,0 +1,138 @@
+"""CLI train/eval entry — the counterpart of the reference's example driver
+scripts (``example/ctr_example/{un_seq,seq,session}.py``) as one configurable
+command.
+
+    python -m ml_function_tpu.train.cli \
+        --config.model.name=deepfm --config.train.batch_size=4096 \
+        --config.mesh.model=2 --config.train.checkpoint_dir=/tmp/ck
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..features.synthetic import make_behavior_data, make_criteo_like
+from ..models import get_model
+from ..parallel.mesh import make_mesh
+from ..parallel.train import (create_sharded_state, make_sharded_eval_step,
+                              make_sharded_train_step, shard_batch)
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .config import Config, apply_overrides
+from .loop import iter_batches, train_test_split
+from .metrics import init_metrics, metrics_summary, update_metrics
+from .optimizers import make_optimizer
+
+
+def build_data(cfg: Config):
+    d = cfg.data
+    if d.source == "synthetic":
+        if d.seq_len > 0:
+            return make_behavior_data(
+                n_rows=d.n_rows, seq_len=d.seq_len,
+                embed_dim=cfg.model.embed_dim, seed=cfg.train.seed)
+        return make_criteo_like(
+            n_rows=d.n_rows, n_dense=d.n_dense, n_sparse=d.n_sparse,
+            vocab_size=d.vocab_size, embed_dim=cfg.model.embed_dim,
+            seed=cfg.train.seed)
+    if d.source == "csv":
+        from ..features.pipeline import criteo_csv_pipeline
+        return criteo_csv_pipeline(d.path, n_dense=d.n_dense,
+                                   n_sparse=d.n_sparse,
+                                   embed_dim=cfg.model.embed_dim,
+                                   hash_features=d.hash_features)
+    raise ValueError(f"unknown data source {d.source!r}")
+
+
+def run(cfg: Config) -> dict:
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    fs, data = build_data(cfg)
+    train_data, test_data = train_test_split(data, cfg.data.test_frac,
+                                             seed=cfg.train.seed)
+    hp = dict(cfg.model.extra)
+    if cfg.model.name not in ("fm", "afm", "seqfm", "sim", "mimn", "dts"):
+        hp.setdefault("hidden", tuple(cfg.model.hidden))
+    model = get_model(cfg.model.name, fs, **hp)
+
+    mesh = make_mesh(data=cfg.mesh.data or None, model=cfg.mesh.model)
+    opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
+    ts = create_sharded_state(model, jax.random.PRNGKey(cfg.train.seed), opt,
+                              mesh)
+
+    start_step = 0
+    if cfg.train.checkpoint_dir:
+        ck = latest_checkpoint(cfg.train.checkpoint_dir)
+        if ck:
+            ts, extra = restore_checkpoint(ck, ts)
+            start_step = int(jax.device_get(ts.step))
+            print(f"resumed from {ck} at step {start_step}", file=sys.stderr)
+
+    train_step = make_sharded_train_step(model, opt, mesh)
+    eval_step = make_sharded_eval_step(model, mesh)
+
+    if cfg.train.profile_dir:
+        jax.profiler.start_trace(cfg.train.profile_dir)
+
+    metrics = init_metrics()
+    upd = jax.jit(update_metrics)
+    step_i, t0, n_seen = 0, None, 0
+    for epoch in range(cfg.train.epochs):
+        for batch in iter_batches(train_data, cfg.train.batch_size,
+                                  shuffle=True, seed=cfg.train.seed + epoch):
+            if step_i < start_step:
+                step_i += 1
+                continue  # fast-forward the data iterator on resume
+            sb = shard_batch(batch, mesh)
+            ts, out = train_step(ts, sb)
+            metrics = upd(metrics, out["logits"], out["label"], sb.get("weight"))
+            step_i += 1
+            if step_i == start_step + 1:
+                jax.block_until_ready(out["loss"])
+                t0 = time.perf_counter()
+            else:
+                n_seen += cfg.train.batch_size
+            if cfg.train.log_every and step_i % cfg.train.log_every == 0:
+                print(f"step {step_i} loss {float(out['loss']):.4f}",
+                      file=sys.stderr)
+            if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
+                    and step_i % cfg.train.checkpoint_every == 0):
+                save_checkpoint(cfg.train.checkpoint_dir, ts,
+                                extra={"config": cfg.to_json()})
+    jax.block_until_ready(ts.params)
+    dt = (time.perf_counter() - t0) if t0 else 0.0
+
+    if cfg.train.profile_dir:
+        jax.profiler.stop_trace()
+
+    if cfg.train.checkpoint_dir:
+        save_checkpoint(cfg.train.checkpoint_dir, ts,
+                        extra={"config": cfg.to_json()})
+
+    em = init_metrics()
+    for batch in iter_batches(test_data, cfg.train.batch_size):
+        em = eval_step(ts.params, ts.model_state, em, shard_batch(batch, mesh))
+    result = {
+        "train": metrics_summary(metrics),
+        "eval": metrics_summary(em),
+        "steps": step_i,
+        "examples_per_sec": (n_seen / dt) if dt > 0 else 0.0,
+    }
+    print(result)
+    return result
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = apply_overrides(Config(), argv)
+    print(cfg.to_json(), file=sys.stderr)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,11 +33,11 @@ def test_sharded_lookup_matches_dense(mesh42):
     params = fe.init(jax.random.PRNGKey(0))
     ids = jnp.asarray(data["sparse"][:16])
 
-    want = fe.sparse(params, ids)  # dense path
+    want = fe.sparse(params, ids)  # dense path (cross columns)
 
     table = pad_table_for_shards(params["table"], 2)
     sl = ShardedLookup(mesh42, fs)
-    got = sl.sparse(table, ids)
+    got = sl.sparse(table, ids)[..., :fs.embed_dim]  # merged table: slice cross
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
 
