@@ -1,0 +1,119 @@
+"""Scoring / model export.
+
+The reference has no serving layer (models die with the Python process;
+nothing is saved in the CTR path — SURVEY §5.4). Here: a jitted batch
+``Scorer`` with static-shape padding, and a self-contained export format
+(params npz + schema/hyperparam JSON) that ``load_scorer`` restores without
+the training code path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .features.schema import DenseSpec, FeatureSet, SeqSpec, SparseSpec
+from .models import get_model
+from .models.base import Model
+from .train.loop import iter_batches
+
+
+class Scorer:
+    """Batched scoring with one compiled apply (pads the tail batch)."""
+
+    def __init__(self, model: Model, params, model_state=None,
+                 batch_size: int = 4096):
+        self.model = model
+        self.params = params
+        self.model_state = model_state or {}
+        self.batch_size = batch_size
+
+        def fwd(params, state, batch):
+            logits, _, _ = model.apply(params, state, batch, train=False)
+            return jax.nn.sigmoid(logits)
+
+        self._fwd = jax.jit(fwd)
+
+    def predict_proba(self, data: Dict[str, Any]) -> np.ndarray:
+        n = len(next(v for k, v in data.items() if k != "seq"))
+        if "label" not in data:  # iter_batches keys off 'label' for length
+            data = dict(data)
+            data["label"] = np.zeros(n, np.float32)
+        out = np.empty(n, np.float32)
+        pos = 0
+        for batch in iter_batches(data, self.batch_size):
+            p = np.asarray(self._fwd(self.params, self.model_state, batch))
+            take = int(batch["weight"].sum())
+            out[pos:pos + take] = p[:take]
+            pos += take
+        return out
+
+
+# ---------------------------------------------------------------------------
+# export / load
+# ---------------------------------------------------------------------------
+
+
+def _fs_to_json(fs: FeatureSet) -> dict:
+    return {
+        "dense": [dataclasses.asdict(d) for d in fs.dense],
+        "sparse": [dataclasses.asdict(s) for s in fs.sparse],
+        "seq": [dataclasses.asdict(s) for s in fs.seq],
+    }
+
+
+def _fs_from_json(d: dict) -> FeatureSet:
+    return FeatureSet(
+        dense=tuple(DenseSpec(**x) for x in d["dense"]),
+        sparse=tuple(SparseSpec(**x) for x in d["sparse"]),
+        seq=tuple(SeqSpec(**{**x, "session_shape":
+                             tuple(x["session_shape"])
+                             if x.get("session_shape") else None})
+                  for x in d["seq"]),
+    )
+
+
+def export_model(path: str, model_name: str, fs: FeatureSet, params,
+                 model_state=None, hyperparams: Optional[dict] = None) -> str:
+    os.makedirs(path, exist_ok=True)
+    flat = {}
+    for p, leaf in jax.tree_util.tree_flatten_with_path(
+            {"params": params, "state": model_state or {}})[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in p)
+        flat[key] = np.asarray(jax.device_get(leaf))
+    np.savez(os.path.join(path, "weights.npz"), **flat)
+    with open(os.path.join(path, "model.json"), "w") as f:
+        json.dump({"model": model_name, "feature_set": _fs_to_json(fs),
+                   "hyperparams": hyperparams or {}}, f)
+    return path
+
+
+def load_scorer(path: str, batch_size: int = 4096) -> Scorer:
+    with open(os.path.join(path, "model.json")) as f:
+        meta = json.load(f)
+    fs = _fs_from_json(meta["feature_set"])
+    hp = {k: (tuple(v) if isinstance(v, list) else v)
+          for k, v in meta["hyperparams"].items()}
+    model = get_model(meta["model"], fs, **hp)
+    params_t, state_t = model.init(jax.random.PRNGKey(0))
+    arrays = dict(np.load(os.path.join(path, "weights.npz")))
+
+    def fill(template, prefix):
+        paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for p, old in paths:
+            key = prefix + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in p)
+            leaves.append(jnp.asarray(arrays[key]))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    params = fill(params_t, "params/")
+    state = fill(state_t, "state/") if state_t else {}
+    return Scorer(model, params, state, batch_size)

@@ -1,0 +1,129 @@
+"""Training infrastructure: metrics correctness, checkpoint roundtrip +
+resume, config overrides, optimizer routing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from sklearn.metrics import log_loss, roc_auc_score
+
+from ml_function_tpu.features.synthetic import make_criteo_like
+from ml_function_tpu.models import get_model
+from ml_function_tpu.train.checkpoint import (all_checkpoints,
+                                              latest_checkpoint,
+                                              restore_checkpoint,
+                                              save_checkpoint)
+from ml_function_tpu.train.config import Config, apply_overrides
+from ml_function_tpu.train.loop import (create_train_state, iter_batches,
+                                        make_train_step)
+from ml_function_tpu.train.metrics import (compute_auc, compute_logloss,
+                                           init_metrics, metrics_summary,
+                                           update_metrics)
+from ml_function_tpu.train.optimizers import (embedding_partitioned,
+                                              make_optimizer)
+
+
+def test_streaming_auc_matches_sklearn(rng):
+    n = 5000
+    nprng = np.random.default_rng(0)
+    logits = jnp.asarray(nprng.normal(0, 2, n), jnp.float32)
+    labels = jnp.asarray(nprng.uniform(size=n) <
+                         jax.nn.sigmoid(logits), jnp.float32)
+    m = init_metrics()
+    for i in range(0, n, 1000):
+        m = update_metrics(m, logits[i:i + 1000], labels[i:i + 1000])
+    got_auc = float(compute_auc(m))
+    want_auc = roc_auc_score(np.asarray(labels), np.asarray(logits))
+    assert abs(got_auc - want_auc) < 2e-3  # binned approximation
+
+    got_ll = float(compute_logloss(m))
+    want_ll = log_loss(np.asarray(labels),
+                       np.asarray(jax.nn.sigmoid(logits)))
+    assert abs(got_ll - want_ll) < 1e-3
+
+
+def test_weighted_metrics_ignore_padding(rng):
+    logits = jnp.asarray([2.0, -1.0, 5.0, 5.0])
+    labels = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    m = update_metrics(init_metrics(), logits, labels, w)
+    assert float(m["count"]) == 2.0
+    assert float(compute_auc(m)) == 1.0
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    fs, data = make_criteo_like(n_rows=128, n_dense=2, n_sparse=3,
+                                vocab_size=11, embed_dim=4)
+    model = get_model("fm", fs)
+    opt = make_optimizer("adam", 1e-2)
+    ts = create_train_state(model, jax.random.PRNGKey(0), opt)
+    step = make_train_step(model, opt, donate=False)
+    batch = next(iter_batches(data, 32))
+    for _ in range(3):
+        ts, _ = step(ts, batch)
+
+    path = save_checkpoint(str(tmp_path), ts, extra={"note": "x"})
+    assert latest_checkpoint(str(tmp_path)) == path
+
+    ts2 = create_train_state(model, jax.random.PRNGKey(1), opt)
+    ts2, extra = restore_checkpoint(path, ts2)
+    assert extra["note"] == "x"
+    assert int(ts2.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(ts.params["embedding"]["table"]),
+        np.asarray(ts2.params["embedding"]["table"]))
+
+    # training continues identically from the restore
+    ts_a, out_a = step(ts, batch)
+    ts_b, out_b = step(ts2, batch)
+    np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                               rtol=1e-6)
+
+
+def test_checkpoint_gc(tmp_path):
+    fs, _ = make_criteo_like(n_rows=8, n_dense=1, n_sparse=2, vocab_size=5,
+                             embed_dim=4)
+    model = get_model("fm", fs)
+    opt = make_optimizer("sgd", 0.1)
+    ts = create_train_state(model, jax.random.PRNGKey(0), opt)
+    for s in range(5):
+        ts = ts.__class__(ts.params, ts.opt_state, ts.model_state,
+                          jnp.asarray(s, jnp.int32), ts.rng)
+        save_checkpoint(str(tmp_path), ts, keep=2)
+    assert len(all_checkpoints(str(tmp_path))) == 2
+
+
+def test_config_overrides():
+    cfg = apply_overrides(Config(), [
+        "--config.model.name=dcn",
+        "--config.model.hidden=64,32",
+        "--config.train.batch_size=128",
+        "--config.train.debug_nans=true",
+        "--config.mesh.model=2",
+    ])
+    assert cfg.model.name == "dcn"
+    assert cfg.model.hidden == (64, 32)
+    assert cfg.train.batch_size == 128
+    assert cfg.train.debug_nans is True
+    assert cfg.mesh.model == 2
+    with pytest.raises(AttributeError):
+        apply_overrides(Config(), ["--config.model.nope=1"])
+
+
+def test_embedding_partitioned_optimizer():
+    fs, data = make_criteo_like(n_rows=64, n_dense=2, n_sparse=3,
+                                vocab_size=11, embed_dim=4)
+    model = get_model("deepfm", fs, hidden=(8,))
+    opt = embedding_partitioned(optax.adam(1e-3), table_lr=1e-2)
+    ts = create_train_state(model, jax.random.PRNGKey(0), opt)
+    step = make_train_step(model, opt, donate=False)
+    batch = next(iter_batches(data, 32))
+    ts1, out = step(ts, batch)
+    assert np.isfinite(float(out["loss"]))
+    # table actually moved (adagrad branch applied)
+    delta = np.abs(np.asarray(ts1.params["embedding"]["table"])
+                   - np.asarray(ts.params["embedding"]["table"])).sum()
+    assert delta > 0
