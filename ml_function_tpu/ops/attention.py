@@ -55,6 +55,10 @@ class MultiHeadAttention:
     use_res: bool = True
     use_ln: bool = True
     causal: bool = False
+    # 'auto': use the Pallas flash kernel when the key length reaches
+    # flash_min_len and no extra_bias is present; 'never'/'always' force.
+    flash: str = "auto"
+    flash_min_len: int = 512
 
     @property
     def hd(self) -> int:
@@ -89,16 +93,29 @@ class MultiHeadAttention:
         q = bf16_matmul(x, params["q"]).reshape(b, lq, h, hd)
         k = bf16_matmul(kv, params["k"]).reshape(b, lk, h, hd)
         v = bf16_matmul(kv, params["v"]).reshape(b, lk, h, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-        if mask is not None:
-            logits = logits + jnp.where(mask, 0.0, NEG_INF)[:, None, None, :]
-        if extra_bias is not None:
-            logits = logits + extra_bias[:, None, :, :]
-        if self.causal:
-            causal = jnp.tril(jnp.ones((lq, lk), bool))
-            logits = jnp.where(causal[None, None], logits, NEG_INF)
-        a = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(b, lq, h * hd)
+        use_flash = (self.flash == "always"
+                     or (self.flash == "auto" and lk >= self.flash_min_len
+                         and extra_bias is None))
+        if use_flash:
+            from .kernels.flash_attention import flash_attention
+            out = flash_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3),
+                                  mask=mask, causal=self.causal,
+                                  scale=1.0 / np.sqrt(hd))
+            out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * hd)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+            if mask is not None:
+                logits = logits + jnp.where(mask, 0.0,
+                                            NEG_INF)[:, None, None, :]
+            if extra_bias is not None:
+                logits = logits + extra_bias[:, None, :, :]
+            if self.causal:
+                causal = jnp.tril(jnp.ones((lq, lk), bool))
+                logits = jnp.where(causal[None, None], logits, NEG_INF)
+            a = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(b, lq, h * hd)
         out = bf16_matmul(out, params["o"])
         if self.use_res:
             out = out + x

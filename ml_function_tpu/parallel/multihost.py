@@ -1,0 +1,120 @@
+"""Multi-host runtime: initialization, per-host data sharding, global
+metrics, heartbeat failure detection (SURVEY §5.3 — nothing exists in the
+reference; required by the north star's multi-host pod-slice runs).
+
+Single-controller JAX: every host runs the same program;
+``jax.distributed.initialize`` wires hosts into one global device mesh.
+The helpers here are the thin layer a training job needs around that:
+
+- ``init_multihost()``: env-driven initialize (no-op when single-host);
+- ``host_batch_slice``: which rows of the global batch this host feeds
+  (hosts own disjoint slices of the 'data' axis);
+- ``global_metrics``: cross-host merge of the streaming AUC histograms
+  (they're linear, so one psum over an 8-number-per-bin pytree);
+- ``Heartbeat``: per-host liveness files + stale-host detection, the
+  minimum viable failure detector for checkpoint-restart recovery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..train.metrics import MetricState
+from ..utils.logging import logger
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Initialize jax.distributed from args or env (JAX_COORDINATOR etc.).
+    Returns (process_index, process_count). Safe no-op for single host."""
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR")
+    if coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=process_id if process_id is not None
+            else int(os.environ["JAX_PROCESS_ID"]),
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def host_batch_slice(global_batch: int) -> Tuple[int, int]:
+    """(start, size) of this host's slice of each global batch: hosts feed
+    disjoint contiguous row ranges; jax.make_array_from_process_local_data
+    assembles the global sharded array."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} % hosts {n} != 0")
+    per = global_batch // n
+    return jax.process_index() * per, per
+
+
+def global_metrics(local: MetricState) -> MetricState:
+    """All-host merge of streaming metric state (histograms + sums are
+    linear → gather per-host states and add)."""
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(local)  # leading host axis
+    return jax.tree_util.tree_map(lambda x: np.sum(x, axis=0), gathered)
+
+
+@dataclass
+class Heartbeat:
+    """File-based liveness: each host touches ``<dir>/host_<i>.hb`` every
+    ``interval_s``; ``stale_hosts`` lists hosts silent past ``timeout_s``.
+    The training driver checks this between steps and triggers
+    checkpoint-restart when a host dies (elastic recovery)."""
+
+    dir: str
+    interval_s: float = 30.0
+    timeout_s: float = 180.0
+    _last_beat: float = 0.0
+
+    def path(self, idx: Optional[int] = None) -> str:
+        i = jax.process_index() if idx is None else idx
+        return os.path.join(self.dir, f"host_{i}.hb")
+
+    def beat(self, step: int = 0) -> None:
+        now = time.time()
+        if now - self._last_beat < self.interval_s:
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self.path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"t": now, "step": step,
+                       "host": socket.gethostname()}, f)
+        os.replace(tmp, self.path())
+        self._last_beat = now
+
+    def stale_hosts(self) -> List[int]:
+        out = []
+        now = time.time()
+        for i in range(jax.process_count()):
+            p = self.path(i)
+            try:
+                with open(p) as f:
+                    t = json.load(f)["t"]
+                if now - t > self.timeout_s:
+                    out.append(i)
+            except FileNotFoundError:
+                if now - self._last_beat > self.timeout_s:
+                    out.append(i)
+        return out
+
+    def check_or_raise(self) -> None:
+        stale = self.stale_hosts()
+        if stale:
+            raise RuntimeError(
+                f"hosts {stale} missed heartbeat for >{self.timeout_s}s — "
+                "initiate checkpoint-restart")
