@@ -34,6 +34,89 @@ DIM = 8
 HIDDEN = (256, 128, 64)
 
 
+def bench_model(name: str, steps: int, hp=None) -> float:
+    """Secondary per-model throughput (same methodology as bench_jax)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ml_function_tpu.features.schema import criteo_feature_set
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.train.loop import TrainState, create_train_state, loss_fn
+
+    fs = criteo_feature_set([VOCAB] * N_SPARSE, n_dense=N_DENSE, embed_dim=DIM)
+    model = get_model(name, fs, **(hp or {}))
+    opt = optax.adam(1e-3)
+    ts = create_train_state(model, jax.random.PRNGKey(0), opt)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    batch = {
+        "dense": jax.random.uniform(k1, (BATCH, N_DENSE), jnp.float32),
+        "sparse": jax.random.randint(k2, (BATCH, N_SPARSE), 1, VOCAB,
+                                     jnp.int32),
+        "label": jax.random.bernoulli(k3, 0.3, (BATCH,)).astype(jnp.float32),
+    }
+
+    def one_step(carry):
+        p, o = carry
+        grads = jax.grad(
+            lambda p: loss_fn(model, p, {}, batch, jax.random.PRNGKey(0))[0])(p)
+        u, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, u), o
+
+    def run_n(n):
+        @jax.jit
+        def f(carry):
+            return jax.lax.fori_loop(0, n, lambda i, c: one_step(c), carry)
+        c = f((ts.params, ts.opt_state))
+        v = float(jnp.sum(jax.tree_util.tree_leaves(c)[0]["bias"]
+                          if "bias" in c[0] else
+                          jax.tree_util.tree_leaves(c[0])[0]).astype(jnp.float32))
+        import time as _t
+        t0 = _t.perf_counter()
+        c = f((ts.params, ts.opt_state))
+        float(jnp.sum(jax.tree_util.tree_leaves(c[0])[0]).astype(jnp.float32))
+        return _t.perf_counter() - t0
+
+    short = max(steps // 10, 2)
+    per = (run_n(short + steps) - run_n(short)) / steps
+    eps = BATCH / per
+    log(f"{name}: {per*1e3:.3f} ms/step -> {eps:,.0f} examples/s/chip")
+    return eps
+
+
+def bench_lookup_rate(steps: int = 50) -> float:
+    """Fused-table lookup throughput (ids embedded per second)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ml_function_tpu.features.schema import criteo_feature_set
+    from ml_function_tpu.ops.embedding import FusedEmbedding
+
+    fs = criteo_feature_set([VOCAB] * N_SPARSE, n_dense=N_DENSE, embed_dim=DIM)
+    fe = FusedEmbedding(fs)
+    params = fe.init(jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (BATCH, N_SPARSE), 1,
+                             VOCAB, jnp.int32)
+
+    def run_n(n):
+        @jax.jit
+        def f(tab):
+            def body(i, t):
+                emb, lin = fe.sparse_all({"table": t}, ids)
+                return t * (1.0 + 0.0 * jnp.sum(emb[0, 0]))
+            return jax.lax.fori_loop(0, n, body, tab)
+        import time as _t
+        v = float(jnp.sum(f(params["table"])[0]))
+        t0 = _t.perf_counter()
+        float(jnp.sum(f(params["table"])[0]))
+        return _t.perf_counter() - t0
+
+    per = (run_n(5 + steps) - run_n(5)) / steps
+    rate = BATCH * N_SPARSE / per
+    log(f"lookup: {per*1e3:.3f} ms/batch -> {rate/1e6:,.1f}M lookups/s/chip")
+    return rate
+
+
 def bench_jax(steps: int, warmup: int = 5) -> float:
     """Times N train steps inside ONE jit (lax.fori_loop) and differences two
     loop lengths — the remote-dispatch latency of the axon tunnel (~18 ms per
@@ -177,9 +260,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--skip-tf", action="store_true")
+    ap.add_argument("--all", action="store_true",
+                    help="also bench xdeepfm/din + lookup rate (stderr)")
     args = ap.parse_args()
 
     eps = bench_jax(args.steps)
+    if args.all:
+        bench_model("xdeepfm", args.steps // 2)
+        bench_lookup_rate()
     tf_eps = 0.0 if args.skip_tf else get_tf_baseline()
     vs = eps / tf_eps if tf_eps > 0 else 0.0
     print(json.dumps({

@@ -5,7 +5,7 @@ from .base import Model
 from .interaction import (AFM, DCN, NFM, PNN, AutoInt, DeepCross, DeepFM, FM,
                           WideDeep, xDeepFM)
 from .longseq import DTS, MIMN, SIM
-from .sequence import BST, DIEN, DIN, DSIN, SeqFM
+from .sequence import BST, DIEN, DIN, DSIN, DSTN, SeqFM
 
 MODEL_REGISTRY = {
     "fm": FM,
@@ -23,6 +23,7 @@ MODEL_REGISTRY = {
     "bst": BST,
     "dsin": DSIN,
     "seqfm": SeqFM,
+    "dstn": DSTN,
     "dts": DTS,
     "mimn": MIMN,
     "sim": SIM,
@@ -39,4 +40,4 @@ def get_model(name: str, feature_set, **hp) -> Model:
 
 __all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "PNN", "DeepCross",
            "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM", "AutoInt",
-           "DIN", "DIEN", "BST", "DSIN", "SeqFM", "DTS", "MIMN", "SIM"]
+           "DIN", "DIEN", "BST", "DSIN", "SeqFM", "DSTN", "DTS", "MIMN", "SIM"]

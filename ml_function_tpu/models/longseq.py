@@ -213,14 +213,20 @@ def MIMN(fs: FeatureSet,
             add = jnp.tanh(Dense(H, kd)(params["add"], h_new))
             mem_new = (mem * (1.0 - w_w[..., None] * erase[:, None, :])
                        + w_w[..., None] * add[:, None, :])
-            # MIU: gate channel update by attention over channels
+            # MIU: gate channel update by attention over channels.
+            # GRU cell inlined on the (B, CH, KD) tensor directly — the
+            # broadcast_to+reshape formulation trips an XLA TPU fusion bug
+            # (fusion_util TransformWindow check) in the scan backward.
             ch_w = jax.nn.softmax(jnp.einsum("bd,bcd->bc", e_t, ch), axis=-1)
-            e_rep = jnp.broadcast_to(e_t[:, None, :], ch.shape)
-            xw_ch = (bf16_matmul(e_rep.reshape(b * channels, kd),
-                                 params["miu"]["wx"]) + params["miu"]["b"])
-            ch_flat = miu._step(params["miu"], ch.reshape(b * channels, kd),
-                                xw_ch, jnp.ones(b * channels, bool))
-            ch_upd = ch_flat.reshape(b, channels, kd)
+            xw_ch = (bf16_matmul(e_t, params["miu"]["wx"])
+                     + params["miu"]["b"])[:, None, :]        # (B, 1, 3KD)
+            hh_ch = bf16_matmul(ch, params["miu"]["wh"])       # (B, CH, 3KD)
+            xu, xr, xn = jnp.split(xw_ch, 3, axis=-1)
+            hu, hr, hn = jnp.split(hh_ch, 3, axis=-1)
+            u_g = jax.nn.sigmoid(xu + hu)
+            r_g = jax.nn.sigmoid(xr + hr)
+            n_g = jnp.tanh(xn + r_g * hn)
+            ch_upd = (1.0 - u_g) * ch + u_g * n_g
             ch_new = ch + ch_w[..., None] * (ch_upd - ch)
             # mask padded steps: carry everything through
             keep = m_t[:, None]

@@ -353,3 +353,59 @@ def SeqFM(fs: FeatureSet,
         return logit + lin, {"emb_l2": l2}
 
     return stateless("SeqFM", fs, init_fn, fwd)
+
+
+def DSTN(fs: FeatureSet,
+         candidate: Tuple[str, ...] = ("item", "cate"),
+         aux_sets: Tuple[Tuple[str, ...], ...] = (("hist_item", "hist_cate"),),
+         hidden: Tuple[int, ...] = (200, 80),
+         activation: str = "prelu") -> Model:
+    """Deep Spatio-Temporal Network — interaction-attention variant
+    (Ouyang et al. 2019). The reference registers DSTN but leaves it a
+    ``pass`` stub (models.py:386-389); implemented here for real.
+
+    Each auxiliary ad set (clicked / unclicked / contextual — any number of
+    seq-feature groups) is attention-pooled conditioned on the target ad,
+    plus a sum-pool residual path (the paper's self + interaction units);
+    all pooled reps concat with the target → MLP.
+    """
+    fe = FusedEmbedding(fs, with_linear=False)
+    d, kd, L, n_other = _beh_dims(fs, candidate, aux_sets[0])
+    attns = [TargetAttention(kd, (36, 1), activation="sigmoid")
+             for _ in aux_sets]
+    in_dim = kd + len(aux_sets) * 2 * kd + n_other * d + len(fs.dense)
+    mlp = MLP(in_dim, hidden, activation=activation, norm="layer", out_dim=1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "mlp"]
+                          + [f"attn{i}" for i in range(len(aux_sets))])
+        p = {"embedding": fe.init(rngs["emb"]), "mlp": mlp.init(rngs["mlp"])}
+        for i, a in enumerate(attns):
+            p[f"attn{i}"] = a.init(rngs[f"attn{i}"])
+        return p
+
+    def fwd(params, batch, train):
+        parts = []
+        l2_total = None
+        emb_full = None
+        cand = None
+        for i, names in enumerate(aux_sets):
+            cand, beh, mask, l2, emb_full = behavior_inputs(
+                fe, params["embedding"], batch, candidate, names)
+            # interaction unit: target-conditioned attention pooling
+            parts.append(attns[i](params[f"attn{i}"], cand, beh, mask))
+            # self unit: unconditioned sum-pool
+            parts.append(masked_sum_pool(beh, mask))
+            l2_total = l2 if l2_total is None else l2_total + l2 \
+                - fe.l2_from_sparse(emb_full)  # count sparse l2 once
+        parts.insert(0, cand)
+        other = _other_sparse(fs, emb_full, candidate)
+        if other is not None:
+            parts.append(other)
+        if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
+            parts.append(batch["dense"])
+        h = jnp.concatenate(parts, axis=-1)
+        logit, _ = mlp(params["mlp"], h)
+        return logit[:, 0], {"emb_l2": l2_total}
+
+    return stateless("DSTN", fs, init_fn, fwd)

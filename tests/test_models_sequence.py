@@ -10,7 +10,7 @@ from ml_function_tpu.features.synthetic import make_behavior_data
 from ml_function_tpu.models import get_model
 from ml_function_tpu.train.loop import fit, iter_batches, train_test_split
 
-SEQ_MODELS = ["din", "dien", "bst", "seqfm"]
+SEQ_MODELS = ["din", "dien", "bst", "seqfm", "dstn"]
 
 
 @pytest.fixture(scope="module")
@@ -24,7 +24,7 @@ def beh_data():
 @pytest.mark.parametrize("name", SEQ_MODELS + ["dsin"])
 def test_seq_model_forward_and_grad(beh_data, name):
     fs, data = beh_data
-    kw = {"hidden": (16, 8)} if name in ("din", "dien", "bst", "dsin") else {}
+    kw = {"hidden": (16, 8)} if name in ("din", "dien", "bst", "dsin", "dstn") else {}
     model = get_model(name, fs, **kw)
     params, state = model.init(jax.random.PRNGKey(0))
     batch = next(iter_batches(data, 16))
