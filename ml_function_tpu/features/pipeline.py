@@ -107,3 +107,37 @@ def behavior_csv_pipeline(path: str, *, item_col: str = "item",
         "label": df[label_col].to_numpy(np.float32),
     }
     return fs, data
+
+
+def avazu_csv_pipeline(path: str, embed_dim: int = 8,
+                       hash_features: bool = False,
+                       hash_buckets: int = 1 << 20,
+                       label_col: str = "click",
+                       max_rows: Optional[int] = None) -> Tuple[FeatureSet, Dict]:
+    """Avazu-format CSV (click + 22 categorical fields incl. hour) →
+    (FeatureSet, arrays). Target config of BASELINE.json ('AutoInt on
+    Avazu'). The hour column is split into (day-of-week-ish, hour-of-day)
+    categorical fields, the standard treatment."""
+    import pandas as pd
+
+    df = pd.read_csv(path, nrows=max_rows)
+    drop = {label_col, "id"}
+    if "hour" in df.columns:  # YYMMDDHH ints
+        h = df["hour"].astype(int)
+        df["hour_of_day"] = (h % 100).astype(str)
+        df["day"] = ((h // 100) % 100).astype(str)
+        drop.add("hour")
+    sparse_cols = [c for c in df.columns if c not in drop]
+
+    se = SparseEncoder(mode="hash" if hash_features else "vocab",
+                       hash_buckets=hash_buckets).fit(df, sparse_cols)
+    fs = FeatureSet(
+        sparse=tuple(SparseSpec(c, vocab_size=se.vocab_size(c), dim=embed_dim)
+                     for c in sparse_cols),
+    )
+    data = {
+        "dense": np.zeros((len(df), 0), np.float32),
+        "sparse": se.transform(df, sparse_cols),
+        "label": df[label_col].to_numpy(np.float32),
+    }
+    return fs, data

@@ -127,3 +127,40 @@ def test_embedding_partitioned_optimizer():
     delta = np.abs(np.asarray(ts1.params["embedding"]["table"])
                    - np.asarray(ts.params["embedding"]["table"])).sum()
     assert delta > 0
+
+
+def test_mlp_batchnorm_state_updates(rng):
+    from ml_function_tpu.ops.core import MLP
+    import jax.numpy as jnp
+    mlp = MLP(8, (16, 16), activation="relu", norm="batch")
+    p = mlp.init(rng)
+    s = mlp.init_state()
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 8)) * 3 + 2
+    y, s2 = mlp(p, x, state=s, train=True)
+    # running stats moved toward batch stats
+    assert float(jnp.abs(s2["layer0"]["mean"]).sum()) > 0
+    # eval mode uses running stats, returns same state
+    y_eval, s3 = mlp(p, x, state=s2, train=False)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool((a == b).all()), s2, s3))
+
+
+def test_avazu_pipeline(tmp_path):
+    import pandas as pd
+    from ml_function_tpu.features.pipeline import avazu_csv_pipeline
+    rng = np.random.default_rng(0)
+    n = 200
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "click": rng.integers(0, 2, n),
+        "hour": 14100100 + rng.integers(0, 24, n),
+        "C1": rng.choice(["1001", "1002"], n),
+        "site_id": rng.choice(["a", "b", "c"], n),
+    })
+    p = tmp_path / "avazu.csv"
+    df.to_csv(p, index=False)
+    fs, data = avazu_csv_pipeline(str(p))
+    names = [s.name for s in fs.sparse]
+    assert "hour_of_day" in names and "day" in names and "id" not in names
+    assert data["sparse"].shape == (n, len(names))
+    assert set(np.unique(data["label"])) <= {0.0, 1.0}
