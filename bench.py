@@ -259,11 +259,15 @@ def get_tf_baseline(cache=".bench_tf_baseline.json") -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=0, help="override BATCH")
     ap.add_argument("--skip-tf", action="store_true")
     ap.add_argument("--all", action="store_true",
                     help="also bench xdeepfm/din + lookup rate (stderr)")
     args = ap.parse_args()
 
+    if args.batch:
+        global BATCH
+        BATCH = args.batch
     eps = bench_jax(args.steps)
     if args.all:
         bench_model("xdeepfm", args.steps // 2)

@@ -119,3 +119,48 @@ def test_sharded_matches_single_device_step():
     np.testing.assert_allclose(np.asarray(v),
                                np.asarray(ts1.params["embedding"]["table"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_training_run_matches_single_device():
+    """30 train steps + eval: sharded (2x4 mesh) and single-device runs from
+    one seed produce the same AUC/logloss — the 'AUC parity within run
+    variance' requirement, shown as exact-equality on the virtual mesh."""
+    from ml_function_tpu.train.loop import create_train_state, make_train_step
+    from ml_function_tpu.train.metrics import init_metrics, metrics_summary, update_metrics
+
+    fs, data = make_criteo_like(n_rows=2048, n_dense=3, n_sparse=5,
+                                vocab_size=17, embed_dim=4, seed=11)
+    model = get_model("xdeepfm", fs, hidden=(16, 8), cin_hidden=(8,))
+    opt = optax.adam(3e-3)
+
+    # single device
+    ts = create_train_state(model, jax.random.PRNGKey(4), opt)
+    step = make_train_step(model, opt, donate=False)
+    for epoch in range(2):
+        for batch in iter_batches(data, 128, shuffle=True, seed=epoch):
+            ts, _ = step(ts, batch)
+    m1 = init_metrics()
+    for batch in iter_batches(data, 128):
+        logits, _, _ = model.apply(ts.params, {}, batch, train=False)
+        m1 = update_metrics(m1, logits, batch["label"], batch["weight"])
+
+    # sharded
+    mesh = make_mesh(data=2, model=4)
+    from ml_function_tpu.parallel.train import (create_sharded_state,
+                                                make_sharded_eval_step,
+                                                make_sharded_train_step,
+                                                shard_batch)
+    sts = create_sharded_state(model, jax.random.PRNGKey(4), opt, mesh)
+    sstep = make_sharded_train_step(model, opt, mesh, donate=False)
+    for epoch in range(2):
+        for batch in iter_batches(data, 128, shuffle=True, seed=epoch):
+            sts, _ = sstep(sts, shard_batch(batch, mesh))
+    ev = make_sharded_eval_step(model, mesh)
+    m2 = init_metrics()
+    for batch in iter_batches(data, 128):
+        m2 = ev(sts.params, sts.model_state, m2, shard_batch(batch, mesh))
+
+    s1, s2 = metrics_summary(m1), metrics_summary(m2)
+    assert s1["auc"] > 0.55  # it learned something
+    np.testing.assert_allclose(s1["auc"], s2["auc"], atol=2e-3)
+    np.testing.assert_allclose(s1["logloss"], s2["logloss"], atol=2e-3)
