@@ -13,6 +13,23 @@ __version__ = "0.1.0"
 from .features.schema import (DenseSpec, FeatureSet, SeqSpec, SparseSpec,
                               criteo_feature_set)
 
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep `import ml_function_tpu` light)
+    if name in ("get_model", "MODEL_REGISTRY"):
+        from . import models
+        return getattr(models, name)
+    if name in ("fit", "train_test_split", "iter_batches"):
+        from .train import loop
+        return getattr(loop, name)
+    if name in ("Scorer", "export_model", "load_scorer"):
+        from . import serving
+        return getattr(serving, name)
+    raise AttributeError(name)
+
+
 __all__ = [
     "DenseSpec", "SparseSpec", "SeqSpec", "FeatureSet", "criteo_feature_set",
+    "get_model", "MODEL_REGISTRY", "fit", "train_test_split", "iter_batches",
+    "Scorer", "export_model", "load_scorer",
 ]

@@ -23,7 +23,7 @@ from ..parallel.train import (create_sharded_state, make_sharded_eval_step,
                               make_sharded_train_step, shard_batch)
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .config import Config, apply_overrides
-from .loop import iter_batches, train_test_split
+from .loop import iter_batches, prefetch, train_test_split
 from .metrics import init_metrics, metrics_summary, update_metrics
 from .optimizers import make_optimizer
 
@@ -83,8 +83,9 @@ def run(cfg: Config) -> dict:
     upd = jax.jit(update_metrics)
     step_i, t0, n_seen = 0, None, 0
     for epoch in range(cfg.train.epochs):
-        for batch in iter_batches(train_data, cfg.train.batch_size,
-                                  shuffle=True, seed=cfg.train.seed + epoch):
+        for batch in prefetch(iter_batches(
+                train_data, cfg.train.batch_size, shuffle=True,
+                seed=cfg.train.seed + epoch)):
             if step_i < start_step:
                 step_i += 1
                 continue  # fast-forward the data iterator on resume

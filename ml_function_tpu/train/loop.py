@@ -96,6 +96,43 @@ def make_train_step(model: Model, optimizer: optax.GradientTransformation,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_chained_train_step(model: Model,
+                            optimizer: optax.GradientTransformation,
+                            chain: int, donate: bool = True) -> Callable:
+    """K train steps per dispatch: scans over a stacked (K, B, …) batch
+    group inside one jit. Amortizes per-call dispatch latency (~18 ms over
+    the axon tunnel; ~100 µs in production) and lets XLA overlap host and
+    device work. Returns (ts, {'loss': (K,), 'logits': (K, B), ...})."""
+
+    def train_steps(ts: TrainState, batches) -> Tuple[TrainState, Dict]:
+        def body(ts, batch):
+            rng, step_rng = jax.random.split(ts.rng)
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_fn(model, p, ts.model_state, batch, step_rng),
+                has_aux=True)
+            (total, (logits, new_state, aux, bce)), grads = grad_fn(ts.params)
+            updates, opt_state = optimizer.update(grads, ts.opt_state,
+                                                  ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            return (TrainState(params=params, opt_state=opt_state,
+                               model_state=new_state, step=ts.step + 1,
+                               rng=rng),
+                    {"loss": total, "logits": logits,
+                     "label": batch["label"],
+                     "weight": batch.get("weight")})
+
+        return jax.lax.scan(body, ts, batches)
+
+    return jax.jit(train_steps, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches) -> Dict:
+    """List of K same-shape batch dicts → one (K, …)-stacked batch group."""
+    def stack(*xs):
+        return np.stack(xs)
+    return jax.tree_util.tree_map(stack, *batches)
+
+
 def make_eval_step(model: Model) -> Callable:
     def eval_step(params: Params, model_state, metrics: MetricState, batch
                   ) -> MetricState:
@@ -109,6 +146,32 @@ def make_eval_step(model: Model) -> Callable:
 # ---------------------------------------------------------------------------
 # host-side data iteration (static shapes, weighted tail batch)
 # ---------------------------------------------------------------------------
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch: overlaps host batch marshalling with
+    device steps (the reference leans on tf.data's prefetch(2),
+    data_prepare.py:337 — this is the numpy equivalent)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
 
 
 def iter_batches(data: Dict[str, Any], batch_size: int, *, shuffle: bool = False,
@@ -176,10 +239,18 @@ def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
         batch_size: int = 256, learning_rate: float = 1e-3,
         optimizer: Optional[optax.GradientTransformation] = None,
         eval_data: Optional[Dict[str, Any]] = None, seed: int = 0,
-        log_every: int = 0, verbose: bool = False) -> Tuple[TrainState, FitResult]:
-    """Single-device fit (the multi-chip path lives in ``parallel/``)."""
+        log_every: int = 0, verbose: bool = False,
+        steps_per_call: int = 1) -> Tuple[TrainState, FitResult]:
+    """Single-device fit (the multi-chip path lives in ``parallel/``).
+
+    ``steps_per_call > 1`` chains that many steps per dispatch
+    (``make_chained_train_step``) — use on high-dispatch-latency links."""
     opt = optimizer or optax.adam(learning_rate)
     ts = create_train_state(model, jax.random.PRNGKey(seed), opt)
+    if steps_per_call > 1:
+        return _fit_chained(model, data, opt, ts, epochs=epochs,
+                            batch_size=batch_size, eval_data=eval_data,
+                            seed=seed, steps_per_call=steps_per_call)
     train_step = make_train_step(model, opt)
     eval_step = make_eval_step(model)
 
@@ -189,10 +260,8 @@ def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
     n_examples = 0
     t0 = None
     for epoch in range(epochs):
-        for batch in iter_batches(data, batch_size, shuffle=True,
-                                  seed=seed + epoch):
-            batch = {k: (v if not isinstance(v, dict) else v)
-                     for k, v in batch.items()}
+        for batch in prefetch(iter_batches(data, batch_size, shuffle=True,
+                                           seed=seed + epoch)):
             ts, out = train_step(ts, batch)
             metrics = update(metrics, out["logits"], out["label"],
                              batch.get("weight"))
@@ -216,3 +285,42 @@ def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
         ev = metrics_summary(em)
     return ts, FitResult(train_metrics=metrics_summary(metrics),
                          eval_metrics=ev, steps=steps, examples_per_sec=eps)
+
+
+def _fit_chained(model, data, opt, ts, *, epochs, batch_size, eval_data,
+                 seed, steps_per_call):
+    train_steps = make_chained_train_step(model, opt, steps_per_call)
+    eval_step = make_eval_step(model)
+    update = jax.jit(update_metrics)
+    metrics = init_metrics()
+    steps, n_examples, t0 = 0, 0, None
+    for epoch in range(epochs):
+        group: list = []
+        for batch in prefetch(iter_batches(data, batch_size, shuffle=True,
+                                           seed=seed + epoch,
+                                           drop_last=True)):
+            group.append(batch)
+            if len(group) < steps_per_call:
+                continue
+            ts, outs = train_steps(ts, stack_batches(group))
+            group = []
+            for k in range(steps_per_call):
+                metrics = update(metrics, outs["logits"][k],
+                                 outs["label"][k], outs["weight"][k])
+            steps += steps_per_call
+            if t0 is None:
+                jax.block_until_ready(outs["loss"])
+                t0 = time.perf_counter()
+            else:
+                n_examples += batch_size * steps_per_call
+    jax.block_until_ready(ts.params)
+    dt = (time.perf_counter() - t0) if t0 else float("inf")
+    ev = {}
+    if eval_data is not None:
+        em = init_metrics()
+        for batch in iter_batches(eval_data, batch_size):
+            em = eval_step(ts.params, ts.model_state, em, batch)
+        ev = metrics_summary(em)
+    return ts, FitResult(train_metrics=metrics_summary(metrics),
+                         eval_metrics=ev, steps=steps,
+                         examples_per_sec=n_examples / dt if dt > 0 else 0.0)

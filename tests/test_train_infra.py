@@ -164,3 +164,17 @@ def test_avazu_pipeline(tmp_path):
     assert "hour_of_day" in names and "day" in names and "id" not in names
     assert data["sparse"].shape == (n, len(names))
     assert set(np.unique(data["label"])) <= {0.0, 1.0}
+
+
+def test_chained_fit_matches_unchained():
+    from ml_function_tpu.train.loop import fit
+    fs, data = make_criteo_like(n_rows=1024, n_dense=2, n_sparse=4,
+                                vocab_size=11, embed_dim=4, seed=13)
+    model = get_model("fm", fs)
+    _, r1 = fit(model, data, epochs=2, batch_size=128, learning_rate=5e-3,
+                eval_data=data, seed=5)
+    _, r2 = fit(model, data, epochs=2, batch_size=128, learning_rate=5e-3,
+                eval_data=data, seed=5, steps_per_call=4)
+    # same data order, same seed → same final metrics (chained drops the
+    # tail partial group; allow small diff)
+    assert abs(r1.eval_metrics["auc"] - r2.eval_metrics["auc"]) < 0.03
