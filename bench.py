@@ -100,15 +100,15 @@ def bench_lookup_rate(steps: int = 50) -> float:
 
     def run_n(n):
         @jax.jit
-        def f(tab):
+        def f(tab, lin_t):
             def body(i, t):
-                emb, lin = fe.sparse_all({"table": t}, ids)
+                emb, lin = fe.sparse_all({"table": t, "linear": lin_t}, ids)
                 return t * (1.0 + 0.0 * jnp.sum(emb[0, 0]))
             return jax.lax.fori_loop(0, n, body, tab)
         import time as _t
-        v = float(jnp.sum(f(params["table"])[0]))
+        v = float(jnp.sum(f(params["table"], params["linear"])[0]))
         t0 = _t.perf_counter()
-        float(jnp.sum(f(params["table"])[0]))
+        float(jnp.sum(f(params["table"], params["linear"])[0]))
         return _t.perf_counter() - t0
 
     per = (run_n(5 + steps) - run_n(5)) / steps

@@ -1,0 +1,149 @@
+"""AUC/logloss parity: this framework vs the reference's stack (TF2 Keras).
+
+BASELINE.json's quality target is "DeepFM/xDeepFM AUC within ±0.001 of
+reference training". The reference publishes no numbers and real Criteo is
+unavailable here (zero-egress image), so this driver trains BOTH stacks on
+the IDENTICAL synthetic Criteo-format dataset (planted FM structure,
+``features/synthetic.py``) with the same split, batch size, optimizer, and
+epochs, and reports eval AUC/logloss side by side (sklearn metrics for
+both). The TF model mirrors the reference's DeepFM composition
+(``kon/model/ctr_model/model/models.py:80-90``: shared embeddings, FM block
++ deep tower, BCE + Adam) — written fresh in Keras 3 ops, not copied.
+
+    python examples/reference_parity.py --rows 400000 --epochs 2
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def split(data, frac=0.05, seed=0):
+    n = len(data["label"])
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(n)
+    cut = int(n * (1 - frac))
+    tr = {k: v[idx[:cut]] for k, v in data.items()}
+    te = {k: v[idx[cut:]] for k, v in data.items()}
+    return tr, te
+
+
+def eval_metrics(y, p):
+    from sklearn.metrics import log_loss, roc_auc_score
+    p = np.clip(np.asarray(p, np.float64).reshape(-1), 1e-7, 1 - 1e-7)
+    return {"auc": float(roc_auc_score(y, p)),
+            "logloss": float(log_loss(y, p))}
+
+
+def run_ours(fs, train, test, args):
+    import jax
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.train.loop import fit, predict
+
+    model = get_model("deepfm", fs, hidden=tuple(args.hidden))
+    t0 = time.perf_counter()
+    (ts, _), res = fit(model, train, epochs=args.epochs,
+                       batch_size=args.batch, learning_rate=args.lr,
+                       eval_data=None, verbose=True), None
+    dt = time.perf_counter() - t0
+    p = predict(model, ts.params, ts.model_state, test,
+                batch_size=args.batch)
+    m = eval_metrics(test["label"], p)
+    m["train_s"] = round(dt, 1)
+    m["examples_per_sec"] = round(args.epochs * len(train["label"]) / dt)
+    return m
+
+
+def run_tf(fs, train, test, args):
+    import os
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import keras
+    from keras import layers, ops
+
+    n_dense = len(fs.dense)
+    n_sparse = len(fs.sparse)
+    vocab = fs.sparse[0].vocab_size
+    dim = fs.embed_dim
+
+    inp_dense = keras.Input((n_dense,))
+    inp_sparse = keras.Input((n_sparse,), dtype="int32")
+    offs = np.arange(n_sparse, dtype=np.int32) * vocab
+
+    class Offset(layers.Layer):
+        def call(self, x):
+            return x + ops.convert_to_tensor(offs)[None, :]
+
+    gids = Offset()(inp_sparse)
+    e = layers.Embedding(vocab * n_sparse, dim,
+                         embeddings_initializer=keras.initializers.RandomNormal(0, 0.05))(gids)
+    lin_e = layers.Embedding(vocab * n_sparse, 1,
+                             embeddings_initializer=keras.initializers.RandomNormal(0, 0.05))(gids)
+
+    class FMHead(layers.Layer):
+        def call(self, e, lin_e, dense):
+            s = ops.sum(e, axis=1)
+            fm = 0.5 * ops.sum(ops.square(s) - ops.sum(ops.square(e), 1), -1)
+            lin = ops.sum(lin_e[..., 0], axis=1)
+            deep = ops.concatenate(
+                [ops.reshape(e, (-1, n_sparse * dim)), dense], -1)
+            return fm, lin, deep
+
+    fm, lin, deep = FMHead()(e, lin_e, inp_dense)
+    for h in args.hidden:
+        deep = layers.Dense(h, activation="relu")(deep)
+    deep = layers.Dense(1)(deep)
+
+    class Score(layers.Layer):
+        def call(self, fm, lin, deep):
+            return ops.sigmoid(fm + lin + deep[:, 0])
+
+    out = Score()(fm, lin, deep)
+    m = keras.Model([inp_dense, inp_sparse], out)
+    m.compile(optimizer=keras.optimizers.Adam(args.lr),
+              loss="binary_crossentropy")
+
+    t0 = time.perf_counter()
+    m.fit([train["dense"], train["sparse"]], train["label"],
+          batch_size=args.batch, epochs=args.epochs, verbose=2)
+    dt = time.perf_counter() - t0
+    p = m.predict([test["dense"], test["sparse"]], batch_size=args.batch,
+                  verbose=0)
+    met = eval_metrics(test["label"], p)
+    met["train_s"] = round(dt, 1)
+    met["examples_per_sec"] = round(args.epochs * len(train["label"]) / dt)
+    return met
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=400_000)
+    ap.add_argument("--vocab", type=int, default=10_000)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--hidden", type=int, nargs="+", default=[256, 128, 64])
+    ap.add_argument("--skip-tf", action="store_true")
+    args = ap.parse_args()
+
+    from ml_function_tpu.features.synthetic import make_criteo_like
+    fs, data = make_criteo_like(n_rows=args.rows, vocab_size=args.vocab)
+    train, test = split(data)
+    print(f"rows={args.rows} vocab={args.vocab} "
+          f"pos_rate={float(np.mean(data['label'])):.3f}")
+
+    ours = run_ours(fs, train, test, args)
+    print("ours:", json.dumps(ours))
+    if not args.skip_tf:
+        ref = run_tf(fs, train, test, args)
+        print("tf reference stack:", json.dumps(ref))
+        print(f"ΔAUC = {ours['auc'] - ref['auc']:+.4f}  "
+              f"speedup = {ours['examples_per_sec'] / ref['examples_per_sec']:.1f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,10 +10,19 @@ with a single gather that yields both the cross embeddings and the linear
 terms; the table is also the unit of row-sharding for the multi-host path
 (``parallel/embedding.py``).
 
-Backward: XLA's TPU scatter-add serializes duplicate ids (~40 ns/row), so
-lookups go through ``fused_gather`` (``ops/kernels/embedding_grad.py``) — a
-custom-vjp gather whose backward is sort + segmented-combine + a Pallas
-merge-scatter, producing the dense grad at near-memcpy speed.
+Storage is SPLIT by column group — ``table`` (V, D) cross embeddings and
+``linear`` (V, 1) first-order weights — because v5e gather/scatter tiling
+falls off a cliff at widths ∉ {1..8}: one (V, D+1) gather costs 5.0 ms at
+the Criteo step shape where the (V, 8) + (V, 1) pair costs 2.96 ms (XLA
+overlaps them), and the backward scatters land on the fast widths natively
+(measured in PERF.md). Both gathers share the same precomputed global ids,
+and lookups that need only one column group (seq lookups, linear-only
+towers) issue only that gather.
+
+Backward: XLA scatter-add at native widths is the measured floor (~6.5
+ns/element; dedup/hints/dtype don't move it — PERF.md). The opt-in Pallas
+merge-scatter (``ops/kernels/embedding_grad.py``) builds the dense grad
+scatter-free for wide-D tables.
 
 Semantics preserved from the reference:
 - id 0 of each vocab is the padding/unknown row (``mask_zero``,
@@ -50,15 +59,19 @@ def _gather(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
         from .kernels.embedding_grad import fused_gather
         return fused_gather(table, flat_ids)
     from .kernels.embedding_grad import split_gather
-    # backward scatters in width-8 column groups (v5e scatter is ~3× slower
-    # at widths ∉ {1..8}; the fused table is D+1 wide)
+    # custom vjp: backward is a direct ``.at[ids].add`` scatter in width-≤8
+    # column groups (v5e scatter is ~3× slower at widths ∉ {1..8}, and
+    # jnp.take's default vjp lowers ~2 ms slower than the explicit scatter
+    # at the Criteo step shape — measured, PERF.md)
     return split_gather(table, flat_ids, 8)
 
 
 @dataclass(frozen=True)
 class FusedEmbedding:
-    """One fused table over a FeatureSet's vocabs: (V, D) cross embeddings,
-    plus a fused linear column (V, D+1 total) when ``with_linear``."""
+    """One fused table per COLUMN GROUP over a FeatureSet's vocabs:
+    ``table`` (V, D) cross embeddings + ``linear`` (V, 1) first-order
+    weights (when ``with_linear``). All vocabs share rows via global
+    offsets; both gathers share the same ids."""
 
     feature_set: FeatureSet
     with_linear: bool = True
@@ -73,7 +86,8 @@ class FusedEmbedding:
 
     def init(self, rng, pre_weight: Optional[Mapping[str, np.ndarray]] = None) -> Params:
         fs = self.feature_set
-        table = normal_init(rng, (fs.total_vocab, self.width), stddev=0.05)
+        r1, r2 = jax.random.split(jax.random.fold_in(rng, 0))
+        table = normal_init(r1, (fs.total_vocab, self.dim), stddev=0.05)
         if pre_weight:
             offs = fs.vocab_offsets
             tab = np.asarray(table).copy()
@@ -81,13 +95,16 @@ class FusedEmbedding:
                 w = np.asarray(w, dtype=np.float32)
                 tab[offs[name]:offs[name] + w.shape[0], :w.shape[1]] = w
             table = jnp.asarray(tab)
-        return {"table": table}
+        out = {"table": table}
+        if self.with_linear:
+            out["linear"] = normal_init(r2, (fs.total_vocab, 1), stddev=0.05)
+        return out
 
     # ---- lookups --------------------------------------------------------
     #
     # When a mesh with model-axis > 1 is active (parallel.context), lookups
     # route through the collective mask+psum exchange over row-sharded
-    # tables; otherwise a single custom-vjp gather.
+    # tables; otherwise a single custom-vjp gather per column group.
 
     def _sharded(self):
         from ..parallel import context as pctx
@@ -96,14 +113,15 @@ class FusedEmbedding:
             return ShardedLookup(pctx.active_mesh(), self.feature_set)
         return None
 
-    def _rows(self, params: Params, global_ids: jax.Array) -> jax.Array:
-        """(…,) global row ids → (…, width) rows (collective or local)."""
+    def _rows(self, table: jax.Array, global_ids: jax.Array) -> jax.Array:
+        """(…,) global row ids → (…, W) rows of ONE table (collective or
+        local)."""
         sh = self._sharded()
         if sh is not None:
-            return sh.lookup(params["table"], global_ids)
+            return sh.lookup(table, global_ids)
         flat = global_ids.reshape(-1)
-        rows = _gather(params["table"], flat)
-        return rows.reshape(global_ids.shape + (self.width,))
+        rows = _gather(table, flat)
+        return rows.reshape(global_ids.shape + (table.shape[-1],))
 
     def _global_sparse_ids(self, ids: jax.Array) -> jax.Array:
         offs = jnp.asarray(self.feature_set.sparse_offsets())
@@ -111,27 +129,29 @@ class FusedEmbedding:
 
     def sparse_all(self, params: Params, ids: jax.Array
                    ) -> Tuple[jax.Array, Optional[jax.Array]]:
-        """(B, F) ids → ((B, F, D) cross, (B, F) linear or None). ONE gather."""
-        rows = self._rows(params, self._global_sparse_ids(ids))
+        """(B, F) ids → ((B, F, D) cross, (B, F) linear or None). One gather
+        per column group, shared ids (XLA overlaps the two)."""
+        gids = self._global_sparse_ids(ids)
+        cross = self._rows(params["table"], gids)
         if self.with_linear:
-            return rows[..., :self.dim], rows[..., self.dim]
-        return rows, None
+            return cross, self._rows(params["linear"], gids)[..., 0]
+        return cross, None
 
     def sparse(self, params: Params, ids: jax.Array) -> jax.Array:
-        """(B, F) ids → (B, F, D) cross embeddings."""
-        return self.sparse_all(params, ids)[0]
+        """(B, F) ids → (B, F, D) cross embeddings (no linear gather)."""
+        return self._rows(params["table"], self._global_sparse_ids(ids))
 
     def sparse_linear(self, params: Params, ids: jax.Array) -> jax.Array:
-        """(B, F) ids → (B, F) first-order weights."""
-        rows = self._rows(params, self._global_sparse_ids(ids))
-        return rows[..., self.dim]
+        """(B, F) ids → (B, F) first-order weights (no cross gather)."""
+        return self._rows(params["linear"],
+                          self._global_sparse_ids(ids))[..., 0]
 
     def seq(self, params: Params, name: str, ids: jax.Array
             ) -> Tuple[jax.Array, jax.Array]:
         """(B, L) ids → ((B, L, D) embeddings with pad rows zeroed, (B, L) mask)."""
         off = self.feature_set.seq_offset(name)
         mask = ids != 0
-        rows = self._rows(params, ids + off)[..., :self.dim]
+        rows = self._rows(params["table"], ids + off)
         return rows * mask[..., None], mask
 
     # ---- regularization -------------------------------------------------

@@ -37,7 +37,8 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 def _is_table_path(path) -> bool:
     keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-    return "table" in keys and "embedding" in keys
+    # both column groups of FusedEmbedding ("table" cross, "linear" 1st-order)
+    return "embedding" in keys and ("table" in keys or "linear" in keys)
 
 
 def param_spec_tree(params: Params) -> Any:

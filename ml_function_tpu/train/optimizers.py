@@ -30,7 +30,8 @@ def make_optimizer(name: str = "adam", learning_rate: float = 1e-3,
 
 def _is_table(path) -> bool:
     keys = [str(getattr(k, "key", getattr(k, "idx", ""))) for k in path]
-    return "table" in keys and "embedding" in keys
+    # both column groups of FusedEmbedding ("table" cross, "linear" 1st-order)
+    return "embedding" in keys and ("table" in keys or "linear" in keys)
 
 
 def embedding_partitioned(
