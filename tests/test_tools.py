@@ -95,3 +95,34 @@ def test_adversarial_validation_detects_shift():
     b = rng.normal(size=(300, 4)) + 3.0
     auc, ok = adversarial_validation(a, b)
     assert not ok, auc
+
+
+# ---------------------------------------------------------------------------
+# EDA plots (reference ctr_eda, feature_transform.py:110-235)
+# ---------------------------------------------------------------------------
+
+
+def test_eda_report(tmp_path):
+    from ml_function_tpu.tools.eda import eda_report
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    frame = pd.DataFrame({
+        "hour": rng.integers(0, 24, n),
+        "user": rng.integers(0, 50, n),
+        "cat": rng.integers(0, 5, n).astype(str),
+    })
+    # planted: rate rises with hour
+    frame["label"] = (rng.uniform(size=n) < frame["hour"] / 48).astype(float)
+
+    out = eda_report(frame, time_col="hour", entity_col="user",
+                     category_cols=["cat"], out_dir=str(tmp_path))
+    tp = out["time_panel"]
+    assert set(tp.columns) == {"hour", "count", "rate"}
+    late = tp[tp["hour"] > 18]["rate"].mean()
+    early = tp[tp["hour"] < 6]["rate"].mean()
+    assert late > early  # the planted trend survives aggregation
+    assert out["activity"].iloc[0] >= out["activity"].iloc[-1]
+    assert out["heatmap"].shape[0] == 5
+    for name in ("time_panel", "activity", "rate_by_cat", "heatmap"):
+        assert (tmp_path / f"{name}.png").stat().st_size > 1000
