@@ -47,15 +47,16 @@ def run_ours(fs, train, test, args):
 
     model = get_model("deepfm", fs, hidden=tuple(args.hidden))
     t0 = time.perf_counter()
-    ts, _ = fit(model, train, epochs=args.epochs, batch_size=args.batch,
-                learning_rate=args.lr, verbose=True,
-                steps_per_call=args.steps_per_call)
+    ts, res = fit(model, train, epochs=args.epochs, batch_size=args.batch,
+                  learning_rate=args.lr, verbose=True,
+                  steps_per_call=args.steps_per_call)
     dt = time.perf_counter() - t0
     p = Scorer(model, ts.params, ts.model_state,
                batch_size=args.batch).predict_proba(test)
     m = eval_metrics(test["label"], p)
-    m["train_s"] = round(dt, 1)
-    m["examples_per_sec"] = round(args.epochs * len(train["label"]) / dt)
+    m["train_s"] = round(dt, 1)   # includes jit compile (cold: minutes on the
+    # axon remote-compile tunnel; cached after the first run)
+    m["examples_per_sec"] = round(res.examples_per_sec)  # steady-state
     return m
 
 

@@ -64,3 +64,30 @@ def test_fused_gather_fwd_and_grad():
     g1 = np.asarray(jax.grad(loss_fused)(table))
     g2 = np.asarray(jax.grad(loss_plain)(table))
     np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-5)
+
+
+def test_split_table_init_and_pre_weight():
+    """Split-column storage: (V, D) cross + (V, 1) linear; pre_weight lands
+    on the cross columns of the right vocab block."""
+    import numpy as np
+
+    from ml_function_tpu.features.schema import FeatureSet, SparseSpec
+    from ml_function_tpu.ops.embedding import FusedEmbedding
+
+    fs = FeatureSet(dense=(), sparse=(
+        SparseSpec("a", vocab_size=5, dim=4),
+        SparseSpec("b", vocab_size=7, dim=4)))
+    fe = FusedEmbedding(fs)
+    w = np.arange(7 * 4, dtype=np.float32).reshape(7, 4)
+    params = fe.init(jax.random.PRNGKey(0), pre_weight={"b": w})
+    assert params["table"].shape == (12, 4)
+    assert params["linear"].shape == (12, 1)
+    np.testing.assert_allclose(np.asarray(params["table"][5:12]), w)
+
+    ids = jnp.asarray([[0, 2]])  # b's id 2 -> global row 7
+    emb, lin = fe.sparse_all(params, ids)
+    np.testing.assert_allclose(np.asarray(emb[0, 1]), w[2])
+    assert lin.shape == (1, 2)
+    # linear-only lookup matches the joint one
+    lin2 = fe.sparse_linear(params, ids)
+    np.testing.assert_allclose(np.asarray(lin2), np.asarray(lin))
