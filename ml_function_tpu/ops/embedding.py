@@ -110,7 +110,8 @@ class FusedEmbedding:
         from ..parallel import context as pctx
         if pctx.model_axis_size() > 1:
             from ..parallel.embedding import ShardedLookup
-            return ShardedLookup(pctx.active_mesh(), self.feature_set)
+            return ShardedLookup(pctx.active_mesh(), self.feature_set,
+                                 mode=pctx.exchange_mode())
         return None
 
     def _rows(self, table: jax.Array, global_ids: jax.Array) -> jax.Array:

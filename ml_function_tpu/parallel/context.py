@@ -33,11 +33,20 @@ def model_axis_size() -> int:
     return mesh.shape.get(MODEL_AXIS, 1)
 
 
+def exchange_mode() -> str:
+    return getattr(_state, "mode", "psum")
+
+
 @contextlib.contextmanager
-def sharded_embeddings(mesh: Mesh):
+def sharded_embeddings(mesh: Mesh, mode: str = "psum"):
+    """``mode``: 'psum' (mask+psum) or 'a2a' (id all-to-all exchange) —
+    see parallel/embedding.py for the trade-off."""
     prev = getattr(_state, "mesh", None)
+    prev_mode = getattr(_state, "mode", "psum")
     _state.mesh = mesh
+    _state.mode = mode
     try:
         yield
     finally:
         _state.mesh = prev
+        _state.mode = prev_mode

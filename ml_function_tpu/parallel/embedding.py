@@ -14,13 +14,28 @@ Lookup (inside ``shard_map``):
 2. ``psum`` over ``model`` combines per-shard partial results into the full
    (B_local, F, D) activation for the device's batch shard.
 
-This is the mask+psum exchange: each device moves exactly one (B_local·F·D)
-buffer over ICI. For the hot DeepFM/xDeepFM shapes (F·D ≈ 208 floats/row) it
-is bandwidth-equivalent to the id-all-to-all variant without its two hops and
-sort; dedup-a2a becomes worthwhile for D ≫ 64 or power-law repeated ids and
-is left as the documented upgrade path. The backward of ``psum`` is identity
-(gradient already sharded), so each table shard receives exactly its rows'
-gradients — the sparse-update path stays local to the owning device.
+TWO exchange strategies, one interface (pick with ``mode=``):
+
+1. ``psum`` (default): each device gathers rows for the ids it OWNS (mask +
+   clamped local gather) and a ``psum`` over ``model`` combines partials.
+   One (B_local·F·D) buffer moves over ICI; the backward of ``psum`` is
+   identity, so each table shard receives exactly its rows' gradients.
+2. ``a2a``: the id-all-to-all exchange of BASELINE.json's north star (and
+   of DLRM-class systems). The local batch's flattened ids are SPLIT over
+   the model axis (each peer processes N/M, not N); each peer sorts its
+   slice by owner shard, ``all_to_all``s the ids to their owners, owners
+   gather rows from their local shard, a second ``all_to_all`` returns
+   them, and an ``all_gather`` reassembles the full activation. Gather
+   compute AND the backward scatter are distributed M-ways (vs replicated
+   N-row work in ``psum``); traffic per device is N/M ids + 2·(N/M)·D rows
+   + the (N·D) all-gather. Wins over ``psum`` when gather/scatter time
+   (row-count-bound on v5e, PERF.md) dominates, i.e. exactly the hot
+   CTR shapes; ``psum`` stays default because it is hop-free at tiny M.
+
+The a2a path takes a ``capacity`` per (src→dst) bucket — default N/M
+(= worst case, never drops); shrink it like an MoE capacity factor for
+power-law id streams where dedup makes overflow impossible in practice
+(overflowed ids read as zero rows, the documented drop semantics).
 """
 
 from __future__ import annotations
@@ -69,14 +84,71 @@ def _local_lookup(table_shard: jax.Array, ids: jax.Array) -> jax.Array:
     return jax.lax.psum(rows, MODEL_AXIS)
 
 
+def _a2a_lookup(table_shard: jax.Array, ids: jax.Array,
+                capacity: int) -> jax.Array:
+    """Id-all-to-all exchange lookup (strategy 2 in the module docstring).
+
+    Runs INSIDE shard_map. ``ids`` are global ids of any shape, replicated
+    over ``model``; returns (*ids.shape, D) rows, replicated over ``model``.
+    """
+    r, d = table_shard.shape
+    m = jax.lax.axis_size(MODEL_AXIS)
+    j = jax.lax.axis_index(MODEL_AXIS)
+
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    s = -(-n // m)  # ids handled per peer
+    sentinel = jnp.int32(r * m)  # one past the last padded row: owned by no one
+    flat_p = jnp.concatenate(
+        [flat, jnp.full((s * m - n,), sentinel, jnp.int32)])
+    mine = jax.lax.dynamic_slice(flat_p, (j * s,), (s,))  # my N/M slice
+
+    owner = mine // r  # sentinel ids land in bucket m (never shipped)
+    order = jnp.argsort(owner)
+    s_ids = mine[order]
+    s_owner = owner[order]
+    counts = jnp.sum(s_owner[None, :] == jnp.arange(m + 1)[:, None],
+                     axis=1).astype(jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    pos = jnp.arange(s, dtype=jnp.int32) - offsets[s_owner]
+
+    cap = capacity
+    send = jnp.full((m + 1, cap), sentinel, jnp.int32)
+    send = send.at[s_owner, pos].set(s_ids, mode="drop")  # overflow drops
+    send = send[:m]  # bucket m (sentinels/pad) never ships
+    req = jax.lax.all_to_all(send, MODEL_AXIS, split_axis=0, concat_axis=0,
+                             tiled=False)
+    req = req.reshape(m, cap)  # requests addressed to MY shard, per peer
+
+    local = req - j * r
+    ok = (local >= 0) & (local < r)
+    rows = jnp.take(table_shard, jnp.clip(local, 0, r - 1).reshape(-1),
+                    axis=0).reshape(m, cap, d)
+    rows = jnp.where(ok[..., None], rows, 0.0)
+    back = jax.lax.all_to_all(rows, MODEL_AXIS, split_axis=0, concat_axis=0,
+                              tiled=False).reshape(m, cap, d)
+
+    safe_pos = jnp.clip(pos, 0, cap - 1)
+    got = back[jnp.minimum(s_owner, m - 1), safe_pos]       # (S, D), sorted
+    got = got * ((s_owner < m) & (pos < cap))[:, None]      # dropped -> 0
+    inv = jnp.argsort(order)
+    my_rows = got[inv]                                      # my slice's rows
+
+    full = jax.lax.all_gather(my_rows, MODEL_AXIS, axis=0, tiled=True)
+    return full[:n].reshape(ids.shape + (d,))
+
+
 @dataclass(frozen=True)
 class ShardedLookup:
     """Collective lookup ops bound to a mesh. Table params live row-sharded;
     call :meth:`sparse` / :meth:`seq` inside a pjit'd step — the function is
-    wrapped in shard_map over (data, model)."""
+    wrapped in shard_map over (data, model). ``mode``: 'psum' | 'a2a'."""
 
     mesh: Mesh
     feature_set: FeatureSet
+    mode: str = "psum"
+    capacity: Optional[int] = None  # a2a per-bucket size; None = N/M (safe)
 
     # --- sharding specs -------------------------------------------------
 
@@ -90,12 +162,25 @@ class ShardedLookup:
     # --- lookups --------------------------------------------------------
 
     def lookup(self, table: jax.Array, global_ids: jax.Array) -> jax.Array:
-        """(…,) global row ids → (…, width) rows via mask+psum collective.
-        FusedEmbedding handles offsets/masks/column-slicing on top."""
+        """(…,) global row ids → (…, width) rows via the selected collective
+        exchange. FusedEmbedding handles offsets/masks/column-slicing on top."""
+        kwargs = {}
+        if self.mode == "a2a":
+            m = self.mesh.shape[MODEL_AXIS]
+            n = int(np.prod(global_ids.shape))
+            cap = self.capacity or -(-n // m)
+            body = partial(_a2a_lookup, capacity=cap)
+            # the closing all_gather replicates the output over `model`, but
+            # the static vma checker can't see through the a2a pipeline
+            kwargs["check_vma"] = False
+        elif self.mode == "psum":
+            body = _local_lookup
+        else:
+            raise ValueError(f"unknown exchange mode {self.mode!r}")
         fn = jax.shard_map(
-            _local_lookup, mesh=self.mesh,
+            body, mesh=self.mesh,
             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS),
+            out_specs=P(DATA_AXIS), **kwargs,
         )
         return fn(table, global_ids)
 

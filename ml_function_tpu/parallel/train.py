@@ -93,7 +93,8 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
 
 def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
-                            donate: bool = True) -> Callable:
+                            donate: bool = True,
+                            exchange: str = "psum") -> Callable:
     def train_step(ts: TrainState, batch):
         rng, step_rng = jax.random.split(ts.rng)
         grad_fn = jax.value_and_grad(
@@ -110,13 +111,14 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
     jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     def run(ts, batch):
-        with sharded_embeddings(mesh):
+        with sharded_embeddings(mesh, mode=exchange):
             return jitted(ts, batch)
 
     return run
 
 
-def make_sharded_eval_step(model: Model, mesh: Mesh) -> Callable:
+def make_sharded_eval_step(model: Model, mesh: Mesh,
+                           exchange: str = "psum") -> Callable:
     def eval_step(params, model_state, metrics, batch):
         logits, _, _ = model.apply(params, model_state, batch, train=False)
         return update_metrics(metrics, logits, batch["label"],
@@ -125,7 +127,7 @@ def make_sharded_eval_step(model: Model, mesh: Mesh) -> Callable:
     jitted = jax.jit(eval_step)
 
     def run(params, model_state, metrics, batch):
-        with sharded_embeddings(mesh):
+        with sharded_embeddings(mesh, mode=exchange):
             return jitted(params, model_state, metrics, batch)
 
     return run

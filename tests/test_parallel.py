@@ -164,3 +164,100 @@ def test_sharded_training_run_matches_single_device():
     assert s1["auc"] > 0.55  # it learned something
     np.testing.assert_allclose(s1["auc"], s2["auc"], atol=2e-3)
     np.testing.assert_allclose(s1["logloss"], s2["logloss"], atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# id all-to-all exchange (BASELINE north star; parallel/embedding.py mode='a2a')
+# ---------------------------------------------------------------------------
+
+
+def test_a2a_lookup_matches_dense(mesh42):
+    fs, data = make_criteo_like(n_rows=64, n_dense=2, n_sparse=5,
+                                vocab_size=13, embed_dim=4)
+    fe = FusedEmbedding(fs)
+    params = fe.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray(data["sparse"][:16])
+
+    want = fe.sparse(params, ids)
+    table = pad_table_for_shards(params["table"], 2)
+    sl = ShardedLookup(mesh42, fs, mode="a2a")
+    got = sl.sparse(table, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_a2a_lookup_matches_dense_model8():
+    mesh = make_mesh(data=1, model=8)
+    fs, data = make_criteo_like(n_rows=24, n_dense=0, n_sparse=3,
+                                vocab_size=10, embed_dim=4)
+    fe = FusedEmbedding(fs, with_linear=False)
+    params = fe.init(jax.random.PRNGKey(2))
+    ids = jnp.asarray(data["sparse"][:24])
+
+    want = fe.sparse(params, ids)
+    table = pad_table_for_shards(params["table"], 8)
+    sl = ShardedLookup(mesh, fs, mode="a2a")
+    got = sl.sparse(table, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_a2a_grads_match(mesh42):
+    fs, data = make_criteo_like(n_rows=32, n_dense=0, n_sparse=4,
+                                vocab_size=11, embed_dim=4)
+    fe = FusedEmbedding(fs, with_linear=False)
+    params = fe.init(jax.random.PRNGKey(1))
+    ids = jnp.asarray(data["sparse"][:16])
+
+    def dense_loss(table):
+        return jnp.sum(jnp.sin(fe.sparse({"table": table}, ids)))
+
+    g_dense = jax.grad(dense_loss)(params["table"])
+
+    sl = ShardedLookup(mesh42, fs, mode="a2a")
+    table_p = pad_table_for_shards(params["table"], 2)
+
+    def shard_loss(table):
+        return jnp.sum(jnp.sin(sl.sparse(table, ids)))
+
+    g_shard = jax.grad(shard_loss)(table_p)[:params["table"].shape[0]]
+    np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_a2a_capacity_overflow_drops_to_zero(mesh42):
+    """With capacity 1 and many ids per owner, overflowed ids read zeros
+    (the documented MoE-style drop semantics)."""
+    fs, _ = make_criteo_like(n_rows=8, n_dense=0, n_sparse=4,
+                             vocab_size=11, embed_dim=4)
+    fe = FusedEmbedding(fs, with_linear=False)
+    params = fe.init(jax.random.PRNGKey(1))
+    ids = jnp.ones((8, 4), jnp.int32)  # all identical -> one owner bucket
+
+    table = pad_table_for_shards(params["table"], 2)
+    sl = ShardedLookup(mesh42, fs, mode="a2a", capacity=1)
+    got = np.asarray(sl.sparse(table, ids))
+    dense = np.asarray(fe.sparse(params, ids))
+    # each of the 8 model-axis slices keeps its first id per owner; the rest
+    # must be EXACTLY zero (dropped), never garbage
+    is_kept = np.isclose(got, dense, atol=1e-6).all(axis=-1)
+    is_zero = np.isclose(got, 0.0).all(axis=-1)
+    assert np.all(is_kept | is_zero)
+    assert is_zero.any()  # overflow actually happened
+
+
+def test_a2a_train_step_matches_psum(mesh42):
+    """One sharded train step, both exchange modes: same loss."""
+    fs, data = make_criteo_like(n_rows=32, n_dense=2, n_sparse=4,
+                                vocab_size=11, embed_dim=4)
+    model = get_model("deepfm", fs, hidden=(8,))
+    opt = optax.adam(1e-3)
+    batch = next(iter_batches(data, 32))
+
+    outs = {}
+    for mode in ("psum", "a2a"):
+        sts = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh42)
+        step = make_sharded_train_step(model, opt, mesh42, exchange=mode)
+        sts, out = step(sts, shard_batch(batch, mesh42))
+        outs[mode] = float(out["loss"])
+    assert np.isclose(outs["psum"], outs["a2a"], rtol=1e-5), outs
