@@ -117,6 +117,93 @@ def bench_lookup_rate(steps: int = 50) -> float:
     return rate
 
 
+def bench_seq_model(name: str = "din", steps: int = 20, batch: int = 2048,
+                    seq_len: int = 64) -> float:
+    """Behavior-sequence model throughput (reference seq.py shapes, scaled:
+    batch 2048, history length 64 vs the reference's batch 32 / len 90)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ml_function_tpu.features.synthetic import make_behavior_data
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.train.loop import create_train_state, loss_fn
+
+    fs, data = make_behavior_data(n_rows=batch, n_items=5000, n_cates=100,
+                                  seq_len=seq_len, vocab_size=100)
+    model = get_model(name, fs)
+    opt = optax.adam(1e-3)
+    ts = create_train_state(model, jax.random.PRNGKey(0), opt)
+    batch_d = {k: (jnp.asarray(v) if not isinstance(v, dict) else
+                   {n: jnp.asarray(a) for n, a in v.items()})
+               for k, v in data.items()}
+
+    def one_step(carry):
+        p, o = carry
+        grads = jax.grad(
+            lambda p: loss_fn(model, p, {}, batch_d, jax.random.PRNGKey(0))[0])(p)
+        u, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, u), o
+
+    def run_n(n):
+        @jax.jit
+        def f(carry):
+            return jax.lax.fori_loop(0, n, lambda i, c: one_step(c), carry)
+        c = f((ts.params, ts.opt_state))
+        float(jnp.sum(jax.tree_util.tree_leaves(c[0])[0]).astype(jnp.float32))
+        import time as _t
+        t0 = _t.perf_counter()
+        c = f((ts.params, ts.opt_state))
+        float(jnp.sum(jax.tree_util.tree_leaves(c[0])[0]).astype(jnp.float32))
+        return _t.perf_counter() - t0
+
+    short = max(steps // 10, 2)
+    per = (run_n(short + steps) - run_n(short)) / steps
+    eps = batch / per
+    log(f"{name} (B={batch}, L={seq_len}): {per*1e3:.3f} ms/step -> "
+        f"{eps:,.0f} examples/s/chip")
+    return eps
+
+
+def bench_scoring(steps: int = 50) -> float:
+    """Inference throughput: DeepFM forward + sigmoid (the serving path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ml_function_tpu.features.schema import criteo_feature_set
+    from ml_function_tpu.models import get_model
+
+    fs = criteo_feature_set([VOCAB] * N_SPARSE, n_dense=N_DENSE, embed_dim=DIM)
+    model = get_model("deepfm", fs, hidden=HIDDEN)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    batch = {
+        "dense": jax.random.uniform(k1, (BATCH, N_DENSE), jnp.float32),
+        "sparse": jax.random.randint(k2, (BATCH, N_SPARSE), 1, VOCAB,
+                                     jnp.int32),
+    }
+
+    def run_n(n):
+        @jax.jit
+        def f(params, batch):
+            def body(i, acc):
+                b = dict(batch)
+                b["sparse"] = (batch["sparse"] + i) % VOCAB  # defeat CSE
+                logits, _, _ = model.apply(params, {}, b, train=False)
+                return acc + jnp.sum(jax.nn.sigmoid(logits))
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        import time as _t
+        float(f(params, batch))
+        t0 = _t.perf_counter()
+        float(f(params, batch))
+        return _t.perf_counter() - t0
+
+    per = (run_n(5 + steps) - run_n(5)) / steps
+    rate = BATCH / per
+    log(f"scoring: {per*1e3:.3f} ms/batch -> {rate/1e6:,.2f}M examples/s/chip")
+    return rate
+
+
 def bench_jax(steps: int, warmup: int = 5) -> float:
     """Times N train steps inside ONE jit (lax.fori_loop) and differences two
     loop lengths — the remote-dispatch latency of the axon tunnel (~18 ms per
@@ -272,6 +359,9 @@ def main():
     if args.all:
         bench_model("xdeepfm", args.steps // 2)
         bench_lookup_rate()
+        bench_scoring()
+        bench_seq_model("din")
+        bench_seq_model("dien")
     tf_eps = 0.0 if args.skip_tf else get_tf_baseline()
     vs = eps / tf_eps if tf_eps > 0 else 0.0
     print(json.dumps({

@@ -73,8 +73,10 @@ def run(cfg: Config) -> dict:
             start_step = int(jax.device_get(ts.step))
             print(f"resumed from {ck} at step {start_step}", file=sys.stderr)
 
-    train_step = make_sharded_train_step(model, opt, mesh)
-    eval_step = make_sharded_eval_step(model, mesh)
+    train_step = make_sharded_train_step(model, opt, mesh,
+                                         exchange=cfg.mesh.exchange)
+    eval_step = make_sharded_eval_step(model, mesh,
+                                       exchange=cfg.mesh.exchange)
 
     if cfg.train.profile_dir:
         jax.profiler.start_trace(cfg.train.profile_dir)

@@ -48,6 +48,7 @@ class DataConfig:
 class MeshConfig:
     data: int = 0                      # 0 → all devices
     model: int = 1
+    exchange: str = "psum"             # embedding lookup: 'psum' | 'a2a'
 
 
 @dataclass

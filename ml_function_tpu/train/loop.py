@@ -291,7 +291,16 @@ def _fit_chained(model, data, opt, ts, *, epochs, batch_size, eval_data,
                  seed, steps_per_call):
     train_steps = make_chained_train_step(model, opt, steps_per_call)
     eval_step = make_eval_step(model)
-    update = jax.jit(update_metrics)
+
+    @jax.jit
+    def update_stacked(metrics, logits, labels, weights):
+        """Fold the (K, B) chained outputs into metrics in ONE dispatch."""
+        def body(m, xs):
+            lg, lb, w = xs
+            return update_metrics(m, lg, lb, w), None
+        m, _ = jax.lax.scan(body, metrics, (logits, labels, weights))
+        return m
+
     metrics = init_metrics()
     steps, n_examples, t0 = 0, 0, None
     for epoch in range(epochs):
@@ -304,9 +313,8 @@ def _fit_chained(model, data, opt, ts, *, epochs, batch_size, eval_data,
                 continue
             ts, outs = train_steps(ts, stack_batches(group))
             group = []
-            for k in range(steps_per_call):
-                metrics = update(metrics, outs["logits"][k],
-                                 outs["label"][k], outs["weight"][k])
+            metrics = update_stacked(metrics, outs["logits"], outs["label"],
+                                     outs["weight"])
             steps += steps_per_call
             if t0 is None:
                 jax.block_until_ready(outs["loss"])
