@@ -68,9 +68,7 @@ def bench_model(name: str, steps: int, hp=None) -> float:
         def f(carry):
             return jax.lax.fori_loop(0, n, lambda i, c: one_step(c), carry)
         c = f((ts.params, ts.opt_state))
-        v = float(jnp.sum(jax.tree_util.tree_leaves(c)[0]["bias"]
-                          if "bias" in c[0] else
-                          jax.tree_util.tree_leaves(c[0])[0]).astype(jnp.float32))
+        v = float(jnp.sum(jax.tree_util.tree_leaves(c[0])[0]).astype(jnp.float32))
         import time as _t
         t0 = _t.perf_counter()
         c = f((ts.params, ts.opt_state))

@@ -36,10 +36,19 @@ def _orthogonal(rng, shape):
 
 @dataclass(frozen=True)
 class GRU:
-    """GRU over (B, L, D) with mask; returns (B, L, H) sequence and (B, H) last."""
+    """GRU over (B, L, D) with mask; returns (B, L, H) sequence and (B, H) last.
+
+    ``kernel``: 'scan' (default) is ``lax.scan`` with hoisted projections;
+    'pallas' forces the fused sequence kernel (``ops/kernels/gru.py`` —
+    whole time loop in VMEM). Measured on v5e at the DIEN bench shape
+    (B=2048, L=64, H=16): kernel 5.16 ms/step vs scan 5.03 — XLA's scan
+    is already latency-optimal at CTR hidden sizes, so the kernel stays
+    opt-in (it exists per SURVEY §2.5's cuDNN-equivalence mandate and is
+    numerics-pinned against the scan path)."""
 
     in_dim: int
     hidden: int
+    kernel: str = "scan"
 
     def init(self, rng) -> Params:
         rngs = split_rngs(rng, ["wx", "wh", "b"])
@@ -72,6 +81,13 @@ class GRU:
         mask_t = jnp.transpose(mask, (1, 0))
         if h0 is None:
             h0 = jnp.zeros((b, self.hidden), x.dtype)
+
+        if self.kernel == "pallas":
+            from .kernels.gru import gru_sequence
+            att_t = (jnp.transpose(att_scores, (1, 0)) if att_scores
+                     is not None else jnp.ones((l, b), jnp.float32))
+            seq_t = gru_sequence(xw_t, params["wh"], mask_t, att_t, h0)
+            return jnp.transpose(seq_t, (1, 0, 2)), seq_t[-1]
 
         if att_scores is None:
             def body(h, inp):
