@@ -18,13 +18,54 @@ from .encoders import DenseEncoder, SeqEncoder, SparseEncoder, hard_search, sess
 from .schema import DenseSpec, FeatureSet, SeqSpec, SparseSpec
 
 
+def _native_ok(path: str) -> bool:
+    """True when the C++ loader applies: toolchain builds and the file is a
+    headerless Criteo TSV (first line starts with a numeric label field)."""
+    try:
+        from .native_loader import native_available
+
+        if not native_available():
+            return False
+        with open(path, "rb") as f:
+            first = f.readline().split(b"\t", 1)[0]
+        float(first)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def criteo_csv_pipeline(path: str, n_dense: int = 13, n_sparse: int = 26,
                         embed_dim: int = 8, hash_features: bool = False,
                         hash_buckets: int = 1 << 20,
                         label_col: str = "label",
-                        sep: str = "\t") -> Tuple[FeatureSet, Dict]:
+                        sep: str = "\t",
+                        engine: str = "auto") -> Tuple[FeatureSet, Dict]:
     """Criteo-format CSV/TSV (label, I1..I13, C1..C26 — the reference's
-    un_seq layout, un_seq.py:39-40) → (FeatureSet, arrays)."""
+    un_seq layout, un_seq.py:39-40) → (FeatureSet, arrays).
+
+    ``engine``: 'native' uses the multithreaded C++ parser+hash-encoder
+    (features/native_loader.py — requires headerless TSV + hash_features);
+    'pandas' the reference-equivalent path; 'auto' picks native when its
+    preconditions hold and the toolchain is available.
+    """
+    if engine == "auto":
+        engine = "native" if (hash_features and sep == "\t"
+                              and _native_ok(path)) else "pandas"
+    if engine == "native":
+        from .native_loader import load_criteo
+
+        if not hash_features:
+            raise ValueError("engine='native' hash-encodes: needs "
+                             "hash_features=True")
+        data = load_criteo(path, n_dense=n_dense, n_sparse=n_sparse,
+                           hash_buckets=hash_buckets)
+        fs = FeatureSet(
+            dense=tuple(DenseSpec(f"I{i+1}") for i in range(n_dense)),
+            sparse=tuple(SparseSpec(f"C{i+1}", vocab_size=hash_buckets,
+                                    dim=embed_dim) for i in range(n_sparse)),
+        )
+        return fs, data
+
     import pandas as pd
 
     df = pd.read_csv(path, sep=sep)

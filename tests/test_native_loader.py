@@ -1,0 +1,96 @@
+"""Native C++ Criteo loader vs. the pure-Python reference spec."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ml_function_tpu.features import native_loader as nl
+
+pytestmark = pytest.mark.skipif(not nl.native_available(),
+                                reason="g++ toolchain unavailable")
+
+
+def _mk_tsv(rows, n_dense=4, n_sparse=3, rng=None):
+    rng = rng or np.random.default_rng(0)
+    lines = []
+    for _ in range(rows):
+        label = str(rng.integers(0, 2))
+        dense = [str(rng.integers(-2, 100)) if rng.random() > 0.15 else ""
+                 for _ in range(n_dense)]
+        sparse = [f"{rng.integers(0, 1 << 32):08x}" if rng.random() > 0.1
+                  else "" for _ in range(n_sparse)]
+        lines.append("\t".join([label] + dense + sparse))
+    return "\n".join(lines) + "\n"
+
+
+def test_parse_matches_python_reference():
+    text = _mk_tsv(500)
+    kw = dict(n_dense=4, n_sparse=3, hash_buckets=997, log1p=True)
+    ref = nl.py_reference_parse(text, **kw)
+    got = nl.parse_buffer(text.encode(), **kw, n_threads=4)
+    np.testing.assert_allclose(got["dense"], ref["dense"], rtol=1e-6)
+    np.testing.assert_array_equal(got["sparse"], ref["sparse"])
+    np.testing.assert_array_equal(got["label"], ref["label"])
+    assert got["sparse"].min() >= 0 and got["sparse"].max() < 997
+
+
+def test_no_trailing_newline_and_short_lines():
+    text = "1\t5\t\tabc\n0\t\t7"  # 2 dense, 1 sparse; last line unterminated
+    kw = dict(n_dense=2, n_sparse=1, hash_buckets=50, log1p=False)
+    ref = nl.py_reference_parse(text, **kw)
+    got = nl.parse_buffer(text.encode(), **kw)
+    assert got["label"].shape == (2,)
+    np.testing.assert_array_equal(got["sparse"], ref["sparse"])
+    np.testing.assert_allclose(got["dense"], ref["dense"])
+    assert got["sparse"][1, 0] == 0  # missing sparse field -> padding id
+
+
+def test_column_salt_separates_fields():
+    text = "1\tx\tx\n"
+    got = nl.parse_buffer(text.encode(), n_dense=0, n_sparse=2,
+                          hash_buckets=1 << 20, log1p=False)
+    assert got["sparse"][0, 0] != got["sparse"][0, 1]
+
+
+def test_float_and_negative_dense():
+    text = "0\t-3\t2.5\t1e2\tfoo\n"
+    got = nl.parse_buffer(text.encode(), n_dense=3, n_sparse=1,
+                          hash_buckets=10, log1p=False)
+    np.testing.assert_allclose(got["dense"][0], [-3.0, 2.5, 100.0])
+    got_l = nl.parse_buffer(text.encode(), n_dense=3, n_sparse=1,
+                            hash_buckets=10, log1p=True)
+    np.testing.assert_allclose(
+        got_l["dense"][0], [0.0, np.log1p(2.5), np.log1p(100.0)], rtol=1e-6)
+
+
+def test_file_iterator_streams_batches(tmp_path):
+    text = _mk_tsv(1000, n_dense=2, n_sparse=2)
+    p = tmp_path / "c.tsv"
+    p.write_text(text)
+    it = nl.CriteoFileIterator(str(p), batch_size=64, n_dense=2, n_sparse=2,
+                               hash_buckets=101, chunk_bytes=1 << 16)
+    batches = list(it)
+    assert len(batches) == 1000 // 64
+    whole = nl.py_reference_parse(text, n_dense=2, n_sparse=2,
+                                  hash_buckets=101)
+    got = np.concatenate([b["sparse"] for b in batches])
+    np.testing.assert_array_equal(got, whole["sparse"][:len(got)])
+    assert all(b["label"].shape == (64,) for b in batches)
+
+
+def test_load_criteo_whole_file(tmp_path):
+    text = _mk_tsv(64, n_dense=13, n_sparse=26)
+    p = tmp_path / "full.tsv"
+    p.write_text(text)
+    got = nl.load_criteo(str(p))
+    ref = nl.py_reference_parse(text)
+    np.testing.assert_array_equal(got["sparse"], ref["sparse"])
+    np.testing.assert_allclose(got["dense"], ref["dense"], rtol=1e-6)
+
+
+def test_empty_file(tmp_path):
+    p = tmp_path / "empty.tsv"
+    p.write_text("")
+    got = nl.load_criteo(str(p), n_dense=2, n_sparse=2)
+    assert got["label"].shape == (0,)
