@@ -40,12 +40,19 @@ def eval_metrics(y, p):
             "logloss": float(log_loss(y, p))}
 
 
+def model_hp(args):
+    hp = {"hidden": tuple(args.hidden)}
+    if args.model == "xdeepfm":
+        hp["cin_hidden"] = tuple(args.cin)
+    return hp
+
+
 def run_ours(fs, train, test, args):
     from ml_function_tpu.models import get_model
     from ml_function_tpu.serving import Scorer
     from ml_function_tpu.train.loop import fit
 
-    model = get_model("deepfm", fs, hidden=tuple(args.hidden))
+    model = get_model(args.model, fs, **model_hp(args))
     t0 = time.perf_counter()
     ts, res = fit(model, train, epochs=args.epochs, batch_size=args.batch,
                   learning_rate=args.lr, verbose=True,
@@ -99,6 +106,31 @@ def run_tf(fs, train, test, args):
         deep = layers.Dense(h, activation="relu")(deep)
     deep = layers.Dense(1)(deep)
 
+    if args.model == "xdeepfm":
+        # CIN head replaces the FM term (reference XDeepFM composition,
+        # models.py:121-138: CIN ⊕ DNN ⊕ linear → add-merge score).
+        class CINBlock(layers.Layer):
+            def build(self, _):
+                h_prev = n_sparse
+                self.ws = []
+                for i, h in enumerate(args.cin):
+                    self.ws.append(self.add_weight(
+                        shape=(h_prev * n_sparse, h),
+                        initializer="glorot_uniform", name=f"cin_w{i}"))
+                    h_prev = h
+
+            def call(self, e):
+                x0, xk = e, e
+                pooled = []
+                for w in self.ws:
+                    z = ops.einsum("bhd,bfd->bhfd", xk, x0)
+                    z = ops.reshape(z, (-1, z.shape[1] * n_sparse, dim))
+                    xk = ops.einsum("bzd,zh->bhd", z, w)
+                    pooled.append(ops.sum(xk, -1))
+                return ops.concatenate(pooled, -1)
+
+        fm = layers.Dense(1)(CINBlock()(e))[:, 0]
+
     class Score(layers.Layer):
         def call(self, fm, lin, deep):
             return ops.sigmoid(fm + lin + deep[:, 0])
@@ -128,6 +160,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--hidden", type=int, nargs="+", default=[256, 128, 64])
+    ap.add_argument("--model", choices=["deepfm", "xdeepfm"],
+                    default="deepfm")
+    ap.add_argument("--cin", type=int, nargs="+", default=[64, 64])
     ap.add_argument("--steps-per-call", type=int, default=8,
                     help="chained steps per dispatch (amortizes link latency)")
     ap.add_argument("--skip-tf", action="store_true")

@@ -45,7 +45,24 @@ def build_data(cfg: Config):
                                    n_sparse=d.n_sparse,
                                    embed_dim=cfg.model.embed_dim,
                                    hash_features=d.hash_features)
+    if d.source == "stream":
+        # Out-of-core: the FeatureSet is fixed by the hash space; batches
+        # stream through the native C++ loader (features/native_loader.py)
+        # with background chunk parsing — the file never loads whole.
+        from ..features.schema import criteo_feature_set
+        fs = criteo_feature_set([d.hash_buckets] * d.n_sparse,
+                                n_dense=d.n_dense,
+                                embed_dim=cfg.model.embed_dim)
+        return fs, None
     raise ValueError(f"unknown data source {d.source!r}")
+
+
+def _stream_iter(cfg: Config):
+    from ..features.native_loader import CriteoFileIterator
+    return iter(CriteoFileIterator(
+        cfg.data.path, cfg.train.batch_size, n_dense=cfg.data.n_dense,
+        n_sparse=cfg.data.n_sparse, hash_buckets=cfg.data.hash_buckets,
+        chunk_bytes=cfg.data.chunk_mb << 20))
 
 
 def run(cfg: Config) -> dict:
@@ -53,8 +70,17 @@ def run(cfg: Config) -> dict:
         jax.config.update("jax_debug_nans", True)
 
     fs, data = build_data(cfg)
-    train_data, test_data = train_test_split(data, cfg.data.test_frac,
-                                             seed=cfg.train.seed)
+    if data is None:  # stream source
+        train_data, test_data = None, None
+        if cfg.data.eval_path:
+            from ..features.native_loader import load_criteo
+            test_data = load_criteo(cfg.data.eval_path,
+                                    n_dense=cfg.data.n_dense,
+                                    n_sparse=cfg.data.n_sparse,
+                                    hash_buckets=cfg.data.hash_buckets)
+    else:
+        train_data, test_data = train_test_split(data, cfg.data.test_frac,
+                                                 seed=cfg.train.seed)
     hp = dict(cfg.model.extra)
     if cfg.model.name not in ("fm", "afm", "seqfm", "sim", "mimn", "dts"):
         hp.setdefault("hidden", tuple(cfg.model.hidden))
@@ -85,9 +111,11 @@ def run(cfg: Config) -> dict:
     upd = jax.jit(update_metrics)
     step_i, t0, n_seen = 0, None, 0
     for epoch in range(cfg.train.epochs):
-        for batch in prefetch(iter_batches(
-                train_data, cfg.train.batch_size, shuffle=True,
-                seed=cfg.train.seed + epoch)):
+        epoch_iter = (_stream_iter(cfg) if train_data is None else
+                      iter_batches(train_data, cfg.train.batch_size,
+                                   shuffle=True,
+                                   seed=cfg.train.seed + epoch))
+        for batch in prefetch(epoch_iter):
             if step_i < start_step:
                 step_i += 1
                 continue  # fast-forward the data iterator on resume
@@ -118,8 +146,10 @@ def run(cfg: Config) -> dict:
                         extra={"config": cfg.to_json()})
 
     em = init_metrics()
-    for batch in iter_batches(test_data, cfg.train.batch_size):
-        em = eval_step(ts.params, ts.model_state, em, shard_batch(batch, mesh))
+    if test_data is not None:
+        for batch in iter_batches(test_data, cfg.train.batch_size):
+            em = eval_step(ts.params, ts.model_state, em,
+                           shard_batch(batch, mesh))
     result = {
         "train": metrics_summary(metrics),
         "eval": metrics_summary(em),

@@ -33,8 +33,8 @@ class ModelConfig:
 
 @dataclass
 class DataConfig:
-    source: str = "synthetic"          # synthetic | csv
-    path: Optional[str] = None         # csv path
+    source: str = "synthetic"          # synthetic | csv | stream
+    path: Optional[str] = None         # csv/tsv path
     n_rows: int = 100_000
     n_dense: int = 13
     n_sparse: int = 26
@@ -42,6 +42,10 @@ class DataConfig:
     seq_len: int = 0                   # >0 → behavior data
     hash_features: bool = False
     test_frac: float = 0.1
+    # stream source (native C++ loader, out-of-core):
+    hash_buckets: int = 1 << 20
+    eval_path: Optional[str] = None    # held-out TSV for eval (loaded whole)
+    chunk_mb: int = 64                 # stream chunk size
 
 
 @dataclass

@@ -1,0 +1,48 @@
+"""CLI driver (train/cli.py): synthetic and native-stream data sources."""
+
+import numpy as np
+import pytest
+
+from ml_function_tpu.train.cli import main
+
+
+def test_cli_synthetic_train_eval():
+    res = main([
+        "--config.model.name=deepfm", "--config.model.hidden=(16,8)",
+        "--config.data.n_rows=512", "--config.data.vocab_size=50",
+        "--config.train.batch_size=64", "--config.train.log_every=0",
+    ])
+    assert res["steps"] > 0
+    assert np.isfinite(res["train"]["logloss"])
+    assert res["eval"]["count"] > 0
+
+
+def test_cli_stream_source(tmp_path):
+    nl = pytest.importorskip("ml_function_tpu.features.native_loader")
+    if not nl.native_available():
+        pytest.skip("g++ toolchain unavailable")
+    rng = np.random.default_rng(0)
+
+    def mk(path, rows):
+        lines = []
+        for _ in range(rows):
+            fields = ([str(rng.integers(0, 2))]
+                      + [str(rng.integers(0, 40)) for _ in range(3)]
+                      + [f"v{rng.integers(0, 30)}" for _ in range(4)])
+            lines.append("\t".join(fields))
+        path.write_text("\n".join(lines) + "\n")
+
+    train_p, eval_p = tmp_path / "train.tsv", tmp_path / "eval.tsv"
+    mk(train_p, 600)
+    mk(eval_p, 128)
+    res = main([
+        "--config.model.name=deepfm", "--config.model.hidden=(16,8)",
+        "--config.data.source=stream", f"--config.data.path={train_p}",
+        f"--config.data.eval_path={eval_p}",
+        "--config.data.n_dense=3", "--config.data.n_sparse=4",
+        "--config.data.hash_buckets=256",
+        "--config.train.batch_size=64", "--config.train.log_every=0",
+    ])
+    assert res["steps"] == 600 // 64
+    assert np.isfinite(res["train"]["logloss"])
+    assert res["eval"]["count"] == 128
