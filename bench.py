@@ -341,6 +341,29 @@ def get_tf_baseline(cache=".bench_tf_baseline.json") -> float:
     return eps
 
 
+def bench_loader(rows: int = 500_000) -> float:
+    """Native C++ Criteo loader throughput (rows/s) on a synthetic TSV."""
+    import numpy as np
+
+    from ml_function_tpu.features.native_loader import (native_available,
+                                                        parse_buffer)
+    if not native_available():
+        log("loader: g++ unavailable, skipped")
+        return 0.0
+    rng = np.random.default_rng(0)
+    lab = rng.integers(0, 2, rows).astype("U1")
+    dense = rng.integers(0, 1000, (rows, N_DENSE)).astype("U4")
+    sp = np.char.mod("%08x", rng.integers(0, 1 << 32, (rows, N_SPARSE)))
+    cols = np.concatenate([lab[:, None], dense, sp], axis=1)
+    buf = ("\n".join("\t".join(r) for r in cols) + "\n").encode()
+    parse_buffer(buf)  # warm (thread pool, page cache)
+    t0 = time.perf_counter()
+    parse_buffer(buf)
+    dt = time.perf_counter() - t0
+    log(f"loader: {rows/dt/1e6:.2f}M rows/s ({len(buf)/dt/1e6:.0f} MB/s)")
+    return rows / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
@@ -360,6 +383,7 @@ def main():
         bench_scoring()
         bench_seq_model("din")
         bench_seq_model("dien")
+        bench_loader()
     tf_eps = 0.0 if args.skip_tf else get_tf_baseline()
     vs = eps / tf_eps if tf_eps > 0 else 0.0
     print(json.dumps({
