@@ -140,26 +140,35 @@ class CriteoFileIterator:
     Chunks are ``chunk_bytes`` slices snapped to newline boundaries; each is
     parsed natively and sliced into ``batch_size`` batches. The final partial
     batch of each epoch is dropped (static shapes for the jitted step).
+
+    Multi-host: pass ``shard=(process_index, process_count)`` and each host
+    consumes a disjoint round-robin subset of chunks from the SAME file —
+    the stream equivalent of ``parallel/multihost.py``'s host batch slices.
     """
 
     def __init__(self, path: str, batch_size: int, *, n_dense: int = 13,
                  n_sparse: int = 26, hash_buckets: int = 1 << 20,
                  log1p: bool = True, chunk_bytes: int = 64 << 20,
-                 n_threads: Optional[int] = None):
+                 n_threads: Optional[int] = None,
+                 shard: Optional[Tuple[int, int]] = None):
         self.path = path
         self.batch_size = batch_size
         self.kw = dict(n_dense=n_dense, n_sparse=n_sparse,
                        hash_buckets=hash_buckets, log1p=log1p,
                        n_threads=n_threads)
         self.chunk_bytes = max(chunk_bytes, 1 << 16)
+        if shard is not None and not (0 <= shard[0] < shard[1]):
+            raise ValueError(f"bad shard {shard}")
+        self.shard = shard
 
     def _read_chunks(self) -> Iterator[bytes]:
+        idx = 0
         with open(self.path, "rb") as f:
             tail = b""
             while True:
                 block = f.read(self.chunk_bytes)
                 if not block:
-                    if tail:
+                    if tail and self._mine(idx):
                         yield tail
                     return
                 block = tail + block
@@ -168,7 +177,13 @@ class CriteoFileIterator:
                     tail = block
                     continue
                 tail = block[cut + 1:]
-                yield block[:cut + 1]
+                if self._mine(idx):
+                    yield block[:cut + 1]
+                idx += 1
+
+    def _mine(self, chunk_idx: int) -> bool:
+        return (self.shard is None
+                or chunk_idx % self.shard[1] == self.shard[0])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         bs = self.batch_size

@@ -59,10 +59,12 @@ def build_data(cfg: Config):
 
 def _stream_iter(cfg: Config):
     from ..features.native_loader import CriteoFileIterator
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)  # disjoint per-host chunks
     return iter(CriteoFileIterator(
         cfg.data.path, cfg.train.batch_size, n_dense=cfg.data.n_dense,
         n_sparse=cfg.data.n_sparse, hash_buckets=cfg.data.hash_buckets,
-        chunk_bytes=cfg.data.chunk_mb << 20))
+        chunk_bytes=cfg.data.chunk_mb << 20, shard=shard))
 
 
 def run(cfg: Config) -> dict:

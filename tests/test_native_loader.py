@@ -94,3 +94,29 @@ def test_empty_file(tmp_path):
     p.write_text("")
     got = nl.load_criteo(str(p), n_dense=2, n_sparse=2)
     assert got["label"].shape == (0,)
+
+
+def test_sharded_stream_partitions_rows(tmp_path):
+    # Unique dense value per row so rows are identifiable; file large enough
+    # for many chunks at the 64 KiB minimum chunk size.
+    n = 20000
+    lines = [f"1\t{i}\tv{i % 50}" for i in range(n)]
+    p = tmp_path / "s.tsv"
+    p.write_text("\n".join(lines) + "\n")
+    kw = dict(n_dense=1, n_sparse=1, hash_buckets=101, log1p=False,
+              chunk_bytes=1 << 16)
+    seen = []
+    for host in range(3):
+        it = nl.CriteoFileIterator(str(p), batch_size=32, shard=(host, 3),
+                                   **kw)
+        host_rows = [int(v) for b in it for v in b["dense"][:, 0]]
+        assert host_rows, f"host {host} got no chunks"
+        seen.extend(host_rows)
+    # disjoint across hosts, covering all but per-shard batch-truncation tails
+    assert len(seen) == len(set(seen))
+    assert len(seen) > n - 3 * 32
+
+
+def test_shard_validation():
+    with pytest.raises(ValueError):
+        nl.CriteoFileIterator("x", 8, shard=(3, 3))
