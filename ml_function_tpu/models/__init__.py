@@ -2,13 +2,15 @@
 (``kon/model/ctr_model/model/models.py:30-426``)."""
 
 from .base import Model
-from .interaction import (AFM, DCN, NFM, PNN, AutoInt, DeepCross, DeepFM, FM,
-                          WideDeep, xDeepFM)
+from .interaction import (AFM, DCN, FFM, NFM, PNN, AutoInt, DeepCross, DeepFM,
+                          FM, FwFM, WideDeep, xDeepFM)
 from .longseq import DTS, MIMN, SIM
 from .sequence import BST, DIEN, DIN, DSIN, DSTN, SeqFM
 
 MODEL_REGISTRY = {
     "fm": FM,
+    "ffm": FFM,
+    "fwfm": FwFM,
     "pnn": PNN,
     "deepcross": DeepCross,
     "wide_deep": WideDeep,
@@ -38,6 +40,7 @@ def get_model(name: str, feature_set, **hp) -> Model:
     return ctor(feature_set, **hp)
 
 
-__all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "PNN", "DeepCross",
-           "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM", "AutoInt",
-           "DIN", "DIEN", "BST", "DSIN", "SeqFM", "DSTN", "DTS", "MIMN", "SIM"]
+__all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "FFM", "FwFM", "PNN",
+           "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
+           "AutoInt", "DIN", "DIEN", "BST", "DSIN", "SeqFM", "DSTN", "DTS",
+           "MIMN", "SIM"]

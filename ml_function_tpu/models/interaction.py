@@ -18,9 +18,9 @@ import jax.numpy as jnp
 
 from ..features.schema import FeatureSet
 from ..ops.attention import MultiHeadAttention
-from ..ops.base import split_rngs, zeros
+from ..ops.base import normal_init, split_rngs, zeros
 from ..ops.core import MLP, Dense, flatten_concat
-from ..ops.embedding import FusedEmbedding
+from ..ops.embedding import FusedEmbedding, gather_rows
 from ..ops.interactions import (AFMAttention, CIN, CrossNet, CrossNetMix,
                                 LinearUnit, OuterProduct, fm_interaction,
                                 fm_interaction_vector, pairwise_inner_products,
@@ -66,6 +66,84 @@ def FM(fs: FeatureSet) -> Model:
         return logit, {"emb_l2": inp["l2"]}
 
     return stateless("FM", fs, init_fn, fwd)
+
+
+def FFM(fs: FeatureSet, ffm_dim: int = 4) -> Model:
+    """Field-aware FM (Juan et al. 2016). Not in the reference's zoo (its
+    lineage stops at FM, models.py:36-41) but mandated by BASELINE.json's
+    north star ("FM/FFM second-order terms").
+
+    Each feature value carries F per-field embedding blocks; pair (i, j)
+    interacts v_{i, field j} · v_{j, field i}. TPU design: ONE (V, F·K)
+    table so all F² blocks arrive in a single fused gather (per-row gather
+    cost — PERF.md), and the pair reduction is an elementwise multiply with
+    the (i, j)-transposed blocks + strict-upper-triangle sum — no pair loop,
+    no dynamic shapes.
+    """
+    fe = FusedEmbedding(fs)
+    f, d, nd = _dims(fs)
+    k = ffm_dim
+    emb_l2 = jnp.asarray([s.emb_l2 for s in fs.sparse], jnp.float32)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "ffm", "dense_linear"])
+        p = {"embedding": {"linear": fe.init(rngs["emb"])["linear"]},
+             "ffm": normal_init(rngs["ffm"], (fs.total_vocab, f * k),
+                                stddev=0.05),
+             "bias": zeros(())}
+        p.update(_maybe_dense_linear(fs, rngs))
+        return p
+
+    def fwd(params, batch, train):
+        ids = batch["sparse"]
+        gids = ids + jnp.asarray(fs.sparse_offsets())[None, :]
+        lin = gather_rows(params["embedding"]["linear"], gids)[..., 0]
+        rows = gather_rows(params["ffm"], gids)          # (B, F, F·K)
+        e = rows.reshape(rows.shape[0], f, f, k)          # e[b,i,j] = v_{i,fj}
+        t = jnp.sum(e * jnp.swapaxes(e, 1, 2), axis=-1)   # t[b,i,j]=v_{i,fj}·v_{j,fi}
+        diag = jnp.sum(jnp.diagonal(t, axis1=1, axis2=2), axis=-1)
+        second = 0.5 * (jnp.sum(t, axis=(1, 2)) - diag)
+        inp = {"dense": batch.get("dense"), "linear": lin}
+        logit = _first_order(params, inp) + second + params["bias"]
+        l2 = jnp.sum(emb_l2 * jnp.sum(jnp.square(rows), axis=(0, 2)))
+        return logit, {"emb_l2": l2}
+
+    return stateless("FFM", fs, init_fn, fwd)
+
+
+def FwFM(fs: FeatureSet, hidden: Optional[Tuple[int, ...]] = None) -> Model:
+    """Field-weighted FM (Pan et al. 2018): logit = first-order +
+    Σ_{i<j} r_{ij} ⟨v_i, v_j⟩ with a learned field-pair strength matrix —
+    FFM quality at FM parameter cost. Shares the fused embedding store;
+    the pair dots are one Gram einsum (MXU). ``hidden`` adds a DeepFwFM
+    tower over the flattened embeddings."""
+    fe = FusedEmbedding(fs)
+    f, d, nd = _dims(fs)
+    triu = jnp.triu(jnp.ones((f, f), jnp.float32), k=1)
+    mlp = MLP(f * d + nd, hidden, activation="relu", out_dim=1) if hidden else None
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "r", "mlp", "dense_linear"])
+        p = {"embedding": fe.init(rngs["emb"]),
+             "field_r": normal_init(rngs["r"], (f, f), stddev=0.1),
+             "bias": zeros(())}
+        if mlp:
+            p["mlp"] = mlp.init(rngs["mlp"])
+        p.update(_maybe_dense_linear(fs, rngs))
+        return p
+
+    def fwd(params, batch, train):
+        inp = embed_inputs(fe, params["embedding"], batch)
+        e = inp["emb"]
+        gram = jnp.einsum("bid,bjd->bij", e, e)
+        second = jnp.sum(gram * (params["field_r"] * triu), axis=(1, 2))
+        logit = _first_order(params, inp) + second + params["bias"]
+        if mlp:
+            h = flatten_concat([e] + ([inp["dense"]] if nd else []))
+            logit = logit + mlp(params["mlp"], h)[0][:, 0]
+        return logit, {"emb_l2": inp["l2"]}
+
+    return stateless("FwFM", fs, init_fn, fwd)
 
 
 def PNN(fs: FeatureSet, hidden: Tuple[int, ...] = (128, 64),

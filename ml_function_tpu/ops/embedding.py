@@ -66,6 +66,15 @@ def _gather(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
     return split_gather(table, flat_ids, 8)
 
 
+def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """(…,) row ids → (…, W) rows, with the tuned custom-vjp backward
+    (columns split into ≤8-wide groups so fwd gathers and bwd scatters land
+    on v5e's fast widths — PERF.md). For auxiliary tables (FFM blocks,
+    pretrained side tables) that live outside a ``FusedEmbedding``."""
+    flat = ids.reshape(-1)
+    return _gather(table, flat).reshape(ids.shape + (table.shape[-1],))
+
+
 @dataclass(frozen=True)
 class FusedEmbedding:
     """One fused table per COLUMN GROUP over a FeatureSet's vocabs:

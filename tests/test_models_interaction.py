@@ -10,8 +10,8 @@ from ml_function_tpu.features.synthetic import make_criteo_like
 from ml_function_tpu.models import MODEL_REGISTRY, get_model
 from ml_function_tpu.train.loop import fit, iter_batches, train_test_split
 
-INTERACTION_MODELS = ["fm", "pnn", "deepcross", "wide_deep", "deepfm", "dcn",
-                      "nfm", "xdeepfm", "afm", "autoint"]
+INTERACTION_MODELS = ["fm", "ffm", "fwfm", "pnn", "deepcross", "wide_deep",
+                      "deepfm", "dcn", "nfm", "xdeepfm", "afm", "autoint"]
 
 
 @pytest.fixture(scope="module")
@@ -49,6 +49,72 @@ def test_deepfm_learns():
     _, res = fit(model, train, epochs=6, batch_size=256, learning_rate=5e-3,
                  eval_data=test)
     assert res.eval_metrics["auc"] > 0.68, res.eval_metrics
+
+
+def test_ffm_matches_naive_pair_loop(small_data):
+    """FFM's vectorized transpose-multiply reduction == the textbook
+    Σ_{i<j} v_{i,f_j}·v_{j,f_i} pair loop."""
+    fs, data = small_data
+    f, k = len(fs.sparse), 3
+    model = get_model("ffm", fs, ffm_dim=k)
+    params, state = model.init(jax.random.PRNGKey(3))
+    batch = next(iter_batches(data, 16))
+    logits, _, _ = model.apply(params, state, batch)
+
+    from ml_function_tpu.ops.interactions import LinearUnit
+    tab = np.asarray(params["ffm"]).reshape(-1, f, k)
+    lin = np.asarray(params["embedding"]["linear"])[:, 0]
+    offs = np.asarray(fs.sparse_offsets())
+    gids = np.asarray(batch["sparse"]) + offs[None, :]
+    # dense part through the model's own LinearUnit (bf16 matmul) — the
+    # golden check targets the FFM pair reduction
+    dl = np.asarray(LinearUnit(len(fs.dense))(params["dense_linear"],
+                                              jnp.asarray(batch["dense"])))
+    want = []
+    for b in range(16):
+        s = float(params["bias"]) + lin[gids[b]].sum() + dl[b]
+        for i in range(f):
+            for j in range(i + 1, f):
+                s += float(tab[gids[b, i], j] @ tab[gids[b, j], i])
+        want.append(s)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4, atol=2e-4)
+
+
+def test_fwfm_matches_naive_pair_loop(small_data):
+    fs, data = small_data
+    model = get_model("fwfm", fs)
+    params, state = model.init(jax.random.PRNGKey(4))
+    batch = next(iter_batches(data, 16))
+    logits, _, _ = model.apply(params, state, batch)
+
+    from ml_function_tpu.ops.embedding import FusedEmbedding
+    from ml_function_tpu.ops.interactions import LinearUnit
+    fe = FusedEmbedding(fs)
+    e, lin = fe.sparse_all(params["embedding"], batch["sparse"])
+    e, lin = np.asarray(e), np.asarray(lin)
+    r = np.asarray(params["field_r"])
+    dl = np.asarray(LinearUnit(len(fs.dense))(params["dense_linear"],
+                                              jnp.asarray(batch["dense"])))
+    f = e.shape[1]
+    want = []
+    for b in range(16):
+        s = float(params["bias"]) + lin[b].sum() + dl[b]
+        for i in range(f):
+            for j in range(i + 1, f):
+                s += r[i, j] * float(e[b, i] @ e[b, j])
+        want.append(s)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4, atol=2e-4)
+
+
+def test_ffm_learns():
+    """FFM recovers planted second-order structure."""
+    fs, data = make_criteo_like(n_rows=6000, n_dense=4, n_sparse=8,
+                                vocab_size=30, embed_dim=8, seed=3)
+    train, test = train_test_split(data, 0.2, seed=3)
+    model = get_model("ffm", fs, ffm_dim=4)
+    _, res = fit(model, train, epochs=6, batch_size=256, learning_rate=5e-3,
+                 eval_data=test)
+    assert res.eval_metrics["auc"] > 0.66, res.eval_metrics
 
 
 def test_fm_learns():
