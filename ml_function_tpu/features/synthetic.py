@@ -126,3 +126,31 @@ def make_behavior_data(
         "label": y,
     }
     return fs, batch
+
+
+def make_cvr_data(
+    n_rows: int = 20000,
+    n_dense: int = 4,
+    n_sparse: int = 8,
+    vocab_size: int = 30,
+    embed_dim: int = 8,
+    seed: int = 0,
+) -> Tuple[FeatureSet, Dict[str, np.ndarray]]:
+    """Impression-space CVR data for ESMM/MMoE: ``click`` from one planted
+    linear+FM signal, ``label`` (conversion) observed ONLY on clicks from an
+    independent planted signal — the sample-selection-bias setup ESMM
+    addresses (conversions are structurally 0 on unclicked impressions)."""
+    rng = np.random.default_rng(seed)
+    fs, batch = make_criteo_like(n_rows, n_dense, n_sparse, vocab_size,
+                                 embed_dim, seed)
+    click = batch.pop("label")
+    sparse = batch["sparse"]
+    true_cvr = rng.normal(0, 0.8, (n_sparse, vocab_size))
+    cvr_logit = np.stack([true_cvr[f, sparse[:, f]]
+                          for f in range(n_sparse)], axis=1).sum(axis=1)
+    cvr_logit = (cvr_logit - cvr_logit.mean()) / (cvr_logit.std() + 1e-9) * 2.0
+    conv_given_click = (rng.uniform(size=n_rows)
+                        < _sigmoid(cvr_logit - 1.0)).astype(np.float32)
+    batch["click"] = click
+    batch["label"] = click * conv_given_click
+    return fs, batch

@@ -5,6 +5,7 @@ from .base import Model
 from .interaction import (AFM, DCN, FFM, NFM, PNN, AutoInt, DeepCross, DeepFM,
                           FM, FwFM, WideDeep, xDeepFM)
 from .longseq import DTS, MIMN, SIM
+from .multitask import ESMM, MMoE
 from .sequence import BST, DIEN, DIN, DSIN, DSTN, SeqFM
 
 MODEL_REGISTRY = {
@@ -29,6 +30,8 @@ MODEL_REGISTRY = {
     "dts": DTS,
     "mimn": MIMN,
     "sim": SIM,
+    "esmm": ESMM,
+    "mmoe": MMoE,
 }
 
 
@@ -43,4 +46,4 @@ def get_model(name: str, feature_set, **hp) -> Model:
 __all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "FFM", "FwFM", "PNN",
            "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
            "AutoInt", "DIN", "DIEN", "BST", "DSIN", "SeqFM", "DSTN", "DTS",
-           "MIMN", "SIM"]
+           "MIMN", "SIM", "ESMM", "MMoE"]
