@@ -71,8 +71,9 @@ def ESMM(fs: FeatureSet, hidden: Tuple[int, ...] = (128, 64),
         ls = jax.nn.log_sigmoid(l_ctr) + jax.nn.log_sigmoid(l_cvr)
         ls = jnp.minimum(ls, -1e-7)  # guard exact 0 under bf16 towers
         logit = ls - jnp.log(-jnp.expm1(ls))
-        aux = {"emb_l2": inp["l2"],
-               "ctr_bce": ctr_weight * _bce(l_ctr, batch["click"])}
+        aux = {"emb_l2": inp["l2"]}
+        if "click" in batch:  # absent at serving time — scoring is features-only
+            aux["ctr_bce"] = ctr_weight * _bce(l_ctr, batch["click"])
         return logit, aux
 
     return stateless("ESMM", fs, init_fn, fwd)
@@ -132,8 +133,9 @@ def MMoE(fs: FeatureSet, n_experts: int = 4,
                   for t in range(n_tasks)]
         aux = {"emb_l2": inp["l2"]}
         for t in range(1, n_tasks):
-            aux[f"{tasks[t]}_bce"] = weights[t] * _bce(logits[t],
-                                                       batch[tasks[t]])
+            if tasks[t] in batch:  # absent at serving time
+                aux[f"{tasks[t]}_bce"] = weights[t] * _bce(logits[t],
+                                                           batch[tasks[t]])
         return logits[0], aux
 
     return stateless("MMoE", fs, init_fn, fwd)

@@ -85,3 +85,18 @@ def test_mmoe_learns_both_tasks(cvr_data):
     # aux bce for click after training should be well below chance entropy
     _, _, aux = model.apply(ts.params, {}, batch, train=False)
     assert float(aux["click_bce"]) < 0.63, aux
+
+
+def test_esmm_serves_without_labels(cvr_data, tmp_path):
+    """Scoring path: no click/label arrays in the batch (serving contract)."""
+    from ml_function_tpu.serving import Scorer, export_model, load_scorer
+    fs, data = cvr_data
+    model = get_model("esmm", fs, hidden=(16,))
+    params, state = model.init(jax.random.PRNGKey(2))
+    feats = {"dense": data["dense"][:100], "sparse": data["sparse"][:100]}
+    proba = Scorer(model, params, state, batch_size=64).predict_proba(feats)
+    assert proba.shape == (100,) and np.isfinite(proba).all()
+    export_model(str(tmp_path / "m"), "esmm", fs, params, state,
+                 hyperparams={"hidden": [16]})
+    got = load_scorer(str(tmp_path / "m"), batch_size=64).predict_proba(feats)
+    np.testing.assert_allclose(got, proba, rtol=1e-6)
