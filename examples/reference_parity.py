@@ -28,8 +28,14 @@ def split(data, frac=0.05, seed=0):
     rng = np.random.default_rng(seed)
     idx = rng.permutation(n)
     cut = int(n * (1 - frac))
-    tr = {k: v[idx[:cut]] for k, v in data.items()}
-    te = {k: v[idx[cut:]] for k, v in data.items()}
+
+    def take(v, sl):
+        if isinstance(v, dict):
+            return {k: a[sl] for k, a in v.items()}
+        return v[sl]
+
+    tr = {k: take(v, idx[:cut]) for k, v in data.items()}
+    te = {k: take(v, idx[cut:]) for k, v in data.items()}
     return tr, te
 
 
@@ -41,6 +47,8 @@ def eval_metrics(y, p):
 
 
 def model_hp(args):
+    if args.model == "din":
+        return {"hidden": (200, 80)}
     hp = {"hidden": tuple(args.hidden)}
     if args.model == "xdeepfm":
         hp["cin_hidden"] = tuple(args.cin)
@@ -152,6 +160,82 @@ def run_tf(fs, train, test, args):
     return met
 
 
+def run_tf_din(fs, train, test, args):
+    """Reference DIN composition (models.py:168-200: ExtractLayer routing →
+    sum-pool + AttentionUnit([cand, cand−beh, cand·beh, beh]) with −2³²
+    masking + softmax, behavior_layer.py:53-120 → PReLU DNN) written fresh
+    in Keras 3 ops against the same shared item/cate vocab tables."""
+    import os
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import keras
+    from keras import layers, ops
+
+    d = fs.embed_dim
+    L = train["seq"]["hist_item"].shape[1]
+    item_v = fs.sparse[0].vocab_size
+    cate_v = fs.sparse[1].vocab_size
+    n_extra = len(fs.sparse) - 2
+    u_vocab = fs.sparse[2].vocab_size if n_extra else 0
+
+    inp_sparse = keras.Input((len(fs.sparse),), dtype="int32")
+    inp_hitem = keras.Input((L,), dtype="int32")
+    inp_hcate = keras.Input((L,), dtype="int32")
+
+    init = keras.initializers.RandomNormal(0, 0.05)
+    emb_item = layers.Embedding(item_v, d, embeddings_initializer=init)
+    emb_cate = layers.Embedding(cate_v, d, embeddings_initializer=init)
+    emb_u = (layers.Embedding(u_vocab * n_extra, d,
+                              embeddings_initializer=init) if n_extra else None)
+
+    att_d1 = layers.Dense(36, activation="sigmoid")
+    att_d2 = layers.Dense(1)
+
+    class DINBody(layers.Layer):
+        def call(self, sparse, hitem, hcate):
+            cand = ops.concatenate([emb_item(sparse[:, 0]),
+                                    emb_cate(sparse[:, 1])], -1)   # (B, 2D)
+            beh = ops.concatenate([emb_item(hitem), emb_cate(hcate)], -1)
+            mask = ops.cast(ops.not_equal(hitem, 0), "float32")    # (B, L)
+            beh = beh * mask[..., None]
+            c = ops.broadcast_to(cand[:, None, :], ops.shape(beh))
+            s = att_d2(att_d1(ops.concatenate(
+                [c, beh, c - beh, c * beh], -1)))[..., 0]          # (B, L)
+            s = s + (1.0 - mask) * -1e9
+            a = ops.softmax(s, axis=-1)
+            att_pool = ops.sum(a[..., None] * beh, axis=1)
+            sum_pool = ops.sum(beh, axis=1)
+            parts = [cand, sum_pool, att_pool]
+            if emb_u is not None:
+                offs = ops.convert_to_tensor(
+                    np.arange(n_extra, dtype=np.int32) * u_vocab)
+                u = emb_u(sparse[:, 2:] + offs[None, :])
+                parts.append(ops.reshape(u, (-1, n_extra * d)))
+            return ops.concatenate(parts, -1)
+
+    h = DINBody()(inp_sparse, inp_hitem, inp_hcate)
+    for width in (200, 80):
+        h = layers.Dense(width)(h)
+        h = layers.BatchNormalization()(h)
+        h = layers.PReLU()(h)
+    out = layers.Dense(1, activation="sigmoid")(h)[:, 0]
+    m = keras.Model([inp_sparse, inp_hitem, inp_hcate], out)
+    m.compile(optimizer=keras.optimizers.Adam(args.lr),
+              loss="binary_crossentropy")
+
+    def xs(d_):
+        return [d_["sparse"], d_["seq"]["hist_item"], d_["seq"]["hist_cate"]]
+
+    t0 = time.perf_counter()
+    m.fit(xs(train), train["label"], batch_size=args.batch,
+          epochs=args.epochs, verbose=2)
+    dt = time.perf_counter() - t0
+    p = m.predict(xs(test), batch_size=args.batch, verbose=0)
+    met = eval_metrics(test["label"], p)
+    met["train_s"] = round(dt, 1)
+    met["examples_per_sec"] = round(args.epochs * len(train["label"]) / dt)
+    return met
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -160,8 +244,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--hidden", type=int, nargs="+", default=[256, 128, 64])
-    ap.add_argument("--model", choices=["deepfm", "xdeepfm"],
+    ap.add_argument("--model", choices=["deepfm", "xdeepfm", "din"],
                     default="deepfm")
+    ap.add_argument("--seq-len", type=int, default=32)
     ap.add_argument("--cin", type=int, nargs="+", default=[64, 64])
     ap.add_argument("--steps-per-call", type=int, default=8,
                     help="chained steps per dispatch (amortizes link latency)")
@@ -169,8 +254,14 @@ def main():
     ap.add_argument("--skip-ours", action="store_true")
     args = ap.parse_args()
 
-    from ml_function_tpu.features.synthetic import make_criteo_like
-    fs, data = make_criteo_like(n_rows=args.rows, vocab_size=args.vocab)
+    if args.model == "din":
+        from ml_function_tpu.features.synthetic import make_behavior_data
+        fs, data = make_behavior_data(n_rows=args.rows, n_items=args.vocab,
+                                      n_cates=max(args.vocab // 50, 10),
+                                      seq_len=args.seq_len)
+    else:
+        from ml_function_tpu.features.synthetic import make_criteo_like
+        fs, data = make_criteo_like(n_rows=args.rows, vocab_size=args.vocab)
     train, test = split(data)
     print(f"rows={args.rows} vocab={args.vocab} "
           f"pos_rate={float(np.mean(data['label'])):.3f}")
@@ -179,7 +270,8 @@ def main():
     if ours:
         print("ours:", json.dumps(ours), flush=True)
     if not args.skip_tf:
-        ref = run_tf(fs, train, test, args)
+        ref = (run_tf_din if args.model == "din" else run_tf)(
+            fs, train, test, args)
         print("tf reference stack:", json.dumps(ref))
         if ours:
             print(f"dAUC = {ours['auc'] - ref['auc']:+.4f}  "

@@ -261,3 +261,34 @@ def test_a2a_train_step_matches_psum(mesh42):
         sts, out = step(sts, shard_batch(batch, mesh42))
         outs[mode] = float(out["loss"])
     assert np.isclose(outs["psum"], outs["a2a"], rtol=1e-5), outs
+
+
+def test_sharded_sequence_model_matches_single_device():
+    """The behavior family shards too: one DIN step on a 2x4 mesh == the
+    single-device step (seq lookups ride the same collective exchange)."""
+    from ml_function_tpu.features.synthetic import make_behavior_data
+    from ml_function_tpu.train.loop import create_train_state, make_train_step
+
+    fs, data = make_behavior_data(n_rows=64, n_items=30, n_cates=8,
+                                  seq_len=8, vocab_size=13, embed_dim=4,
+                                  seed=11)
+    model = get_model("din", fs, hidden=(16, 8))
+    opt = optax.sgd(0.1)
+    batch = next(iter_batches(data, 32))
+
+    ts = create_train_state(model, jax.random.PRNGKey(3), opt)
+    step = make_train_step(model, opt, donate=False)
+    ts1, out1 = step(ts, batch)
+
+    mesh = make_mesh(data=2, model=4)
+    sts = create_sharded_state(model, jax.random.PRNGKey(3), opt, mesh)
+    sstep = make_sharded_train_step(model, opt, mesh, donate=False)
+    sts1, out2 = sstep(sts, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                               rtol=1e-5)
+    v = sts1.params["embedding"]["table"][
+        :ts1.params["embedding"]["table"].shape[0]]
+    np.testing.assert_allclose(np.asarray(v),
+                               np.asarray(ts1.params["embedding"]["table"]),
+                               rtol=1e-4, atol=1e-5)
