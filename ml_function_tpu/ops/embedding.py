@@ -137,24 +137,34 @@ class FusedEmbedding:
         offs = jnp.asarray(self.feature_set.sparse_offsets())
         return ids + offs[None, :]
 
+    def _sparse_rows(self, table: jax.Array, ids: jax.Array) -> jax.Array:
+        """(B, F) LOCAL sparse ids → (B, F, W) rows via the grouped
+        (per-vocab, overlapped) gather; falls back to the collective path
+        when a model-sharded mesh is active."""
+        sh = self._sharded()
+        gids = self._global_sparse_ids(ids)
+        if sh is not None:
+            return sh.lookup(table, gids)
+        from .kernels.embedding_grad import grouped_gather
+        return grouped_gather(table, gids,
+                              self.feature_set.sparse_groups(), 8)
+
     def sparse_all(self, params: Params, ids: jax.Array
                    ) -> Tuple[jax.Array, Optional[jax.Array]]:
-        """(B, F) ids → ((B, F, D) cross, (B, F) linear or None). One gather
-        per column group, shared ids (XLA overlaps the two)."""
-        gids = self._global_sparse_ids(ids)
-        cross = self._rows(params["table"], gids)
+        """(B, F) ids → ((B, F, D) cross, (B, F) linear or None). Per-vocab
+        grouped gathers per column group — all of them overlap on-device."""
+        cross = self._sparse_rows(params["table"], ids)
         if self.with_linear:
-            return cross, self._rows(params["linear"], gids)[..., 0]
+            return cross, self._sparse_rows(params["linear"], ids)[..., 0]
         return cross, None
 
     def sparse(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F, D) cross embeddings (no linear gather)."""
-        return self._rows(params["table"], self._global_sparse_ids(ids))
+        return self._sparse_rows(params["table"], ids)
 
     def sparse_linear(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F) first-order weights (no cross gather)."""
-        return self._rows(params["linear"],
-                          self._global_sparse_ids(ids))[..., 0]
+        return self._sparse_rows(params["linear"], ids)[..., 0]
 
     def seq(self, params: Params, name: str, ids: jax.Array
             ) -> Tuple[jax.Array, jax.Array]:

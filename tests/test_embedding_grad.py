@@ -91,3 +91,64 @@ def test_split_table_init_and_pre_weight():
     # linear-only lookup matches the joint one
     lin2 = fe.sparse_linear(params, ids)
     np.testing.assert_allclose(np.asarray(lin2), np.asarray(lin))
+
+
+class TestGroupedGather:
+    """grouped_gather == jnp.take fwd and autodiff bwd, incl. shared-vocab
+    columns and unused (gap) row ranges (seq vocabs sharing the table)."""
+
+    def _check(self, groups, f, v, b=7, w=9, seed=0):
+        import jax
+        import jax.numpy as jnp
+        from ml_function_tpu.ops.kernels.embedding_grad import grouped_gather
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        table = jax.random.normal(k1, (v, w), jnp.float32)
+        # draw each column's ids inside its group's range
+        cols_lo_hi = {}
+        for lo, hi, cols in groups:
+            for c in cols:
+                cols_lo_hi[c] = (lo, hi)
+        ids = jnp.stack(
+            [jax.random.randint(jax.random.fold_in(k2, c), (b,),
+                                cols_lo_hi[c][0], cols_lo_hi[c][1])
+             for c in range(f)], axis=1)
+        ct = jax.random.normal(k3, (b, f, w), jnp.float32)
+
+        out = grouped_gather(table, ids, groups, 8)
+        ref = jnp.take(table, ids.reshape(-1), axis=0).reshape(b, f, w)
+        assert jnp.allclose(out, ref)
+
+        g = jax.grad(lambda t: jnp.sum(grouped_gather(t, ids, groups, 8) * ct))(table)
+        g_ref = jax.grad(
+            lambda t: jnp.sum(jnp.take(t, ids.reshape(-1), axis=0).reshape(b, f, w) * ct))(table)
+        assert jnp.allclose(g, g_ref, atol=1e-5)
+
+    def test_per_column_groups(self):
+        self._check(((0, 10, (0,)), (10, 25, (1,)), (25, 31, (2,))), f=3, v=31)
+
+    def test_shared_vocab_and_gaps(self):
+        # cols 0 and 2 share one vocab; rows 20-40 belong to no sparse column
+        self._check(((0, 12, (0, 2)), (12, 20, (1,))), f=3, v=40)
+
+    def test_feature_set_groups(self):
+        from ml_function_tpu.features.schema import criteo_feature_set
+        fs = criteo_feature_set([11, 13, 17], n_dense=2, embed_dim=4)
+        groups = fs.sparse_groups()
+        assert groups == ((0, 11, (0,)), (11, 24, (1,)), (24, 41, (2,)))
+        self._check(groups, f=3, v=fs.total_vocab, w=4)
+
+    def test_fused_embedding_routes_grouped(self):
+        import jax
+        import jax.numpy as jnp
+        from ml_function_tpu.features.schema import criteo_feature_set
+        from ml_function_tpu.ops.embedding import FusedEmbedding
+        fs = criteo_feature_set([11, 13], n_dense=1, embed_dim=4)
+        fe = FusedEmbedding(fs)
+        params = fe.init(jax.random.PRNGKey(0))
+        ids = jnp.asarray([[1, 5], [10, 0], [3, 12]], jnp.int32)
+        cross, lin = fe.sparse_all(params, ids)
+        gids = ids + jnp.asarray([0, 11])[None, :]
+        ref = jnp.take(params["table"], gids.reshape(-1), axis=0).reshape(3, 2, 4)
+        assert jnp.allclose(cross, ref)
+        assert jnp.allclose(
+            lin, jnp.take(params["linear"], gids.reshape(-1), axis=0).reshape(3, 2))
