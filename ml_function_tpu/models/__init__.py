@@ -2,10 +2,10 @@
 (``kon/model/ctr_model/model/models.py:30-426``)."""
 
 from .base import Model
-from .interaction import (AFM, DCN, FFM, NFM, PNN, AutoInt, DeepCross, DeepFM,
-                          FM, FwFM, WideDeep, xDeepFM)
+from .interaction import (AFM, DCN, DLRM, FFM, NFM, PNN, AutoInt, DeepCross,
+                          DeepFM, FiBiNET, FM, FwFM, WideDeep, xDeepFM)
 from .longseq import DTS, MIMN, SIM
-from .multitask import ESMM, MMoE
+from .multitask import ESMM, MMoE, PLE
 from .sequence import BST, DIEN, DIN, DSIN, DSTN, SeqFM
 
 MODEL_REGISTRY = {
@@ -21,6 +21,8 @@ MODEL_REGISTRY = {
     "xdeepfm": xDeepFM,
     "afm": AFM,
     "autoint": AutoInt,
+    "fibinet": FiBiNET,
+    "dlrm": DLRM,
     "din": DIN,
     "dien": DIEN,
     "bst": BST,
@@ -32,6 +34,7 @@ MODEL_REGISTRY = {
     "sim": SIM,
     "esmm": ESMM,
     "mmoe": MMoE,
+    "ple": PLE,
 }
 
 
@@ -45,5 +48,5 @@ def get_model(name: str, feature_set, **hp) -> Model:
 
 __all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "FFM", "FwFM", "PNN",
            "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
-           "AutoInt", "DIN", "DIEN", "BST", "DSIN", "SeqFM", "DSTN", "DTS",
-           "MIMN", "SIM", "ESMM", "MMoE"]
+           "AutoInt", "FiBiNET", "DLRM", "DIN", "DIEN", "BST", "DSIN",
+           "SeqFM", "DSTN", "DTS", "MIMN", "SIM", "ESMM", "MMoE", "PLE"]

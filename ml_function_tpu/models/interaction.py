@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..features.schema import FeatureSet
 from ..ops.attention import MultiHeadAttention
@@ -357,6 +358,113 @@ def AFM(fs: FeatureSet, attn_dim: int = 16) -> Model:
         return logit, {"emb_l2": inp["l2"]}
 
     return stateless("AFM", fs, init_fn, fwd)
+
+
+def FiBiNET(fs: FeatureSet, reduction: int = 3,
+            bilinear_type: str = "each",
+            hidden: Tuple[int, ...] = (128, 64)) -> Model:
+    """FiBiNET (Huang et al. 2019). On the reference's own roadmap — its
+    "Next Building" checklist lists the FiBiNET paper as [reading]
+    (``kon/model/ctr_model/README.md``, Next Building §3) but it was never
+    built; implemented here to the paper's semantics.
+
+    SENET squeeze-excitation reweights the field embeddings, then a bilinear
+    interaction layer crosses every field pair through a learned (D, D)
+    kernel — applied to BOTH the raw and the SENET-reweighted embeddings —
+    and the concatenated pair vectors feed a DNN. TPU design: the pair
+    products are gathered with static triu index arrays (no Python pair
+    loop inside jit), and ``bilinear_type='each'`` runs all per-field
+    kernels as one ``bfd,fde->bfe`` einsum on the MXU.
+    """
+    fe = FusedEmbedding(fs)
+    f, d, nd = _dims(fs)
+    if bilinear_type not in ("all", "each"):
+        raise ValueError(f"bilinear_type {bilinear_type!r} not in "
+                         "('all', 'each')")
+    iu, ju = np.triu_indices(f, k=1)
+    iu, ju = jnp.asarray(iu), jnp.asarray(ju)
+    n_pairs = f * (f - 1) // 2
+    se_mid = max(1, f // reduction)
+    mlp = MLP(2 * n_pairs * d + nd, hidden, activation="relu", out_dim=1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "se1", "se2", "w", "mlp",
+                                "dense_linear"])
+        kshape = (d, d) if bilinear_type == "all" else (f, d, d)
+        p = {"embedding": fe.init(rngs["emb"]),
+             "se": {"w1": normal_init(rngs["se1"], (f, se_mid), stddev=0.1),
+                    "w2": normal_init(rngs["se2"], (se_mid, f), stddev=0.1)},
+             "bilinear_w": normal_init(rngs["w"], kshape, stddev=0.05),
+             "mlp": mlp.init(rngs["mlp"]), "bias": zeros(())}
+        p.update(_maybe_dense_linear(fs, rngs))
+        return p
+
+    def bilinear(w, e):
+        if bilinear_type == "all":
+            t = jnp.einsum("bfd,de->bfe", e, w)
+        else:
+            t = jnp.einsum("bfd,fde->bfe", e, w)
+        return (t[:, iu, :] * e[:, ju, :]).reshape(e.shape[0], -1)
+
+    def fwd(params, batch, train):
+        inp = embed_inputs(fe, params["embedding"], batch)
+        e = inp["emb"]
+        z = jnp.mean(e, axis=-1)                              # squeeze (B, F)
+        a = jax.nn.relu(jax.nn.relu(z @ params["se"]["w1"])
+                        @ params["se"]["w2"])                 # excitation
+        v = e * a[..., None]                                  # reweight
+        parts = [bilinear(params["bilinear_w"], e),
+                 bilinear(params["bilinear_w"], v)]
+        if nd:
+            parts.append(inp["dense"])
+        deep, _ = mlp(params["mlp"], jnp.concatenate(parts, axis=-1))
+        logit = _first_order(params, inp) + deep[:, 0] + params["bias"]
+        return logit, {"emb_l2": inp["l2"]}
+
+    return stateless("FiBiNET", fs, init_fn, fwd)
+
+
+def DLRM(fs: FeatureSet, bottom: Tuple[int, ...] = (64,),
+         top: Tuple[int, ...] = (256, 128)) -> Model:
+    """DLRM (Naumov et al. 2019). Beyond the reference's zoo: the canonical
+    production recommendation architecture and the natural target for the
+    sharded embedding store (SURVEY §2.10) — dense features pass through a
+    bottom MLP into the same D-dim space as the sparse embeddings, all
+    (F+1 choose 2) pairwise dots form the interaction vector (one Gram
+    einsum on the MXU), and [bottom output ∥ interactions] feeds the top
+    MLP. Without dense features it degrades to pairwise dots over the
+    sparse fields only."""
+    fe = FusedEmbedding(fs, with_linear=False)
+    f, d, nd = _dims(fs)
+    bottom_mlp = MLP(nd, bottom + (d,), activation="relu") if nd else None
+    n_fields = f + (1 if nd else 0)
+    iu, ju = np.triu_indices(n_fields, k=1)
+    iu, ju = jnp.asarray(iu), jnp.asarray(ju)
+    top_dim = (d if nd else 0) + n_fields * (n_fields - 1) // 2
+    top_mlp = MLP(top_dim, top, activation="relu", out_dim=1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "bottom", "top"])
+        p = {"embedding": fe.init(rngs["emb"]),
+             "top": top_mlp.init(rngs["top"])}
+        if bottom_mlp:
+            p["bottom"] = bottom_mlp.init(rngs["bottom"])
+        return p
+
+    def fwd(params, batch, train):
+        inp = embed_inputs(fe, params["embedding"], batch, with_linear=False)
+        e = inp["emb"]
+        parts = []
+        if bottom_mlp:
+            x0, _ = bottom_mlp(params["bottom"], inp["dense"])   # (B, D)
+            e = jnp.concatenate([x0[:, None, :], e], axis=1)
+            parts.append(x0)
+        gram = jnp.einsum("bid,bjd->bij", e, e)
+        parts.append(gram[:, iu, ju])
+        logit, _ = top_mlp(params["top"], jnp.concatenate(parts, axis=-1))
+        return logit[:, 0], {"emb_l2": inp["l2"]}
+
+    return stateless("DLRM", fs, init_fn, fwd)
 
 
 def AutoInt(fs: FeatureSet, n_layers: int = 2, num_heads: int = 2,

@@ -139,3 +139,96 @@ def MMoE(fs: FeatureSet, n_experts: int = 4,
         return logits[0], aux
 
     return stateless("MMoE", fs, init_fn, fwd)
+
+
+def PLE(fs: FeatureSet, n_task_experts: int = 2, n_shared_experts: int = 2,
+        n_layers: int = 2, expert_dim: int = 64,
+        tower_hidden: Tuple[int, ...] = (32,),
+        tasks: Tuple[str, ...] = ("label", "click"),
+        task_weights: Tuple[float, ...] = None) -> Model:
+    """Progressive Layered Extraction (Tang et al., RecSys 2020) — the
+    seesaw-free successor to MMoE, completing the CVR family the reference
+    reserved but never built (``kon/model/cvr_model/``, SURVEY §2.9).
+
+    Each extraction layer is a CGC unit: every task owns ``n_task_experts``
+    private experts and all tasks share ``n_shared_experts``; a task's gate
+    mixes ONLY its own + shared experts while the shared gate mixes all of
+    them, so gradients from one task cannot pull another task's private
+    representation. TPU design mirrors MMoE: every expert of a layer is a
+    slice of one stacked (E, in, out) weight so the whole layer is a single
+    ``bei,eio->beo`` einsum on the MXU; gate selection is static indexing
+    into the expert axis (no dynamic shapes)."""
+    fe = FusedEmbedding(fs, with_linear=False)
+    f, d, nd = len(fs.sparse), fs.embed_dim, len(fs.dense)
+    in_dim = f * d + nd
+    n_tasks = len(tasks)
+    weights = task_weights or (1.0,) * n_tasks
+    n_exp = n_tasks * n_task_experts + n_shared_experts  # experts per layer
+    towers = [MLP(expert_dim, tower_hidden, activation="relu", out_dim=1)
+              for _ in tasks]
+    # expert e belongs to task e // n_task_experts (shared if >= n_tasks)
+    own = [tuple(range(t * n_task_experts, (t + 1) * n_task_experts))
+           + tuple(range(n_tasks * n_task_experts, n_exp))
+           for t in range(n_tasks)]  # per-task gate's expert slice
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb"] + [f"layer{l}" for l in range(n_layers)]
+                          + [f"tower{t}" for t in range(n_tasks)])
+        p = {"embedding": fe.init(rngs["emb"]), "layers": []}
+        dims = [in_dim] + [expert_dim] * n_layers
+        for li in range(n_layers):
+            kr = rngs[f"layer{li}"]
+            ws = jax.vmap(lambda r: glorot_uniform(
+                r, (dims[li], dims[li + 1])))(jax.random.split(
+                    jax.random.fold_in(kr, 0), n_exp))
+            # per-task gates over (own + shared) experts, + 1 shared gate
+            # over all experts (only needed while another layer follows)
+            gate_w = [glorot_uniform(jax.random.fold_in(kr, 1 + t),
+                                     (dims[li], len(own[t])))
+                      for t in range(n_tasks)]
+            shared_gate = glorot_uniform(jax.random.fold_in(kr, 1 + n_tasks),
+                                         (dims[li], n_exp))
+            p["layers"].append({
+                "w": ws, "b": jnp.zeros((n_exp, dims[li + 1]), jnp.float32),
+                "gate_w": gate_w,
+                "gate_b": [jnp.zeros((len(own[t]),), jnp.float32)
+                           for t in range(n_tasks)],
+                "shared_gate_w": shared_gate,
+                "shared_gate_b": jnp.zeros((n_exp,), jnp.float32)})
+        for t in range(n_tasks):
+            p[f"tower{t}"] = towers[t].init(rngs[f"tower{t}"])
+        return p
+
+    def fwd(params, batch, train):
+        inp = embed_inputs(fe, params["embedding"], batch, with_linear=False)
+        h = flatten_concat([inp["emb"]] + ([inp["dense"]] if nd else []))
+        # CGC inputs: one stream per task + one shared stream
+        streams = [h] * (n_tasks + 1)
+        for li, lp in enumerate(params["layers"]):
+            # each expert reads its owner's stream (shared experts read the
+            # shared stream): build (B, E, in) from the streams
+            x = jnp.stack(
+                [streams[min(e // n_task_experts, n_tasks)]
+                 for e in range(n_exp)], axis=1)
+            out = jax.nn.relu(jnp.einsum("bei,eio->beo", x, lp["w"])
+                              + lp["b"])                        # (B, E, out)
+            new_streams = []
+            for t in range(n_tasks):
+                g = jax.nn.softmax(streams[t] @ lp["gate_w"][t]
+                                   + lp["gate_b"][t], axis=-1)  # (B, |own|)
+                sel = out[:, jnp.asarray(own[t]), :]
+                new_streams.append(jnp.einsum("be,beo->bo", g, sel))
+            gs = jax.nn.softmax(streams[n_tasks] @ lp["shared_gate_w"]
+                                + lp["shared_gate_b"], axis=-1)
+            new_streams.append(jnp.einsum("be,beo->bo", gs, out))
+            streams = new_streams
+        logits = [towers[t](params[f"tower{t}"], streams[t])[0][:, 0]
+                  for t in range(n_tasks)]
+        aux = {"emb_l2": inp["l2"]}
+        for t in range(1, n_tasks):
+            if tasks[t] in batch:  # absent at serving time
+                aux[f"{tasks[t]}_bce"] = weights[t] * _bce(logits[t],
+                                                           batch[tasks[t]])
+        return logits[0], aux
+
+    return stateless("PLE", fs, init_fn, fwd)

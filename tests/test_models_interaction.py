@@ -11,7 +11,8 @@ from ml_function_tpu.models import MODEL_REGISTRY, get_model
 from ml_function_tpu.train.loop import fit, iter_batches, train_test_split
 
 INTERACTION_MODELS = ["fm", "ffm", "fwfm", "pnn", "deepcross", "wide_deep",
-                      "deepfm", "dcn", "nfm", "xdeepfm", "afm", "autoint"]
+                      "deepfm", "dcn", "nfm", "xdeepfm", "afm", "autoint",
+                      "fibinet", "dlrm"]
 
 
 @pytest.fixture(scope="module")
@@ -112,6 +113,51 @@ def test_ffm_learns():
                                 vocab_size=30, embed_dim=8, seed=3)
     train, test = train_test_split(data, 0.2, seed=3)
     model = get_model("ffm", fs, ffm_dim=4)
+    _, res = fit(model, train, epochs=6, batch_size=256, learning_rate=5e-3,
+                 eval_data=test)
+    assert res.eval_metrics["auc"] > 0.66, res.eval_metrics
+
+
+def test_fibinet_bilinear_matches_naive(small_data):
+    """FiBiNET's einsum+triu-gather bilinear == naive (v_i W_i) ∘ v_j loop,
+    SENET reweighting included."""
+    fs, data = small_data
+    model = get_model("fibinet", fs, bilinear_type="each", hidden=(8,))
+    params, state = model.init(jax.random.PRNGKey(5))
+    batch = next(iter_batches(data, 8))
+    logits, _, _ = model.apply(params, state, batch)
+
+    from ml_function_tpu.ops.core import MLP
+    from ml_function_tpu.ops.embedding import FusedEmbedding
+    from ml_function_tpu.ops.interactions import LinearUnit
+    fe = FusedEmbedding(fs)
+    e, lin = fe.sparse_all(params["embedding"], batch["sparse"])
+    e = np.asarray(e)
+    w = np.asarray(params["bilinear_w"])
+    se = {k: np.asarray(v) for k, v in params["se"].items()}
+    f = e.shape[1]
+    z = e.mean(-1)
+    a = np.maximum(np.maximum(z @ se["w1"], 0) @ se["w2"], 0)
+    v = e * a[..., None]
+    rows = []
+    for src in (e, v):
+        pairs = [(src[:, i] @ w[i]) * src[:, j]
+                 for i in range(f) for j in range(i + 1, f)]
+        rows.append(np.concatenate(pairs, axis=-1))
+    h = np.concatenate(rows + [np.asarray(batch["dense"])], axis=-1)
+    deep = np.asarray(MLP(h.shape[-1], (8,), activation="relu",
+                          out_dim=1)(params["mlp"], jnp.asarray(h))[0][:, 0])
+    dl = np.asarray(LinearUnit(len(fs.dense))(params["dense_linear"],
+                                              jnp.asarray(batch["dense"])))
+    want = (np.asarray(lin).sum(1) + dl + deep + float(params["bias"]))
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-3, atol=2e-3)
+
+
+def test_dlrm_learns():
+    fs, data = make_criteo_like(n_rows=6000, n_dense=4, n_sparse=8,
+                                vocab_size=30, embed_dim=8, seed=4)
+    train, test = train_test_split(data, 0.2, seed=4)
+    model = get_model("dlrm", fs, bottom=(32,), top=(64, 32))
     _, res = fit(model, train, epochs=6, batch_size=256, learning_rate=5e-3,
                  eval_data=test)
     assert res.eval_metrics["auc"] > 0.66, res.eval_metrics

@@ -20,6 +20,8 @@ def cvr_data():
 @pytest.mark.parametrize("name,hp", [
     ("esmm", {}),
     ("mmoe", {"n_experts": 3}),
+    ("ple", {"n_task_experts": 2, "n_shared_experts": 1, "n_layers": 2,
+             "expert_dim": 16}),
 ])
 def test_forward_and_grad(cvr_data, name, hp):
     fs, data = cvr_data
@@ -85,6 +87,44 @@ def test_mmoe_learns_both_tasks(cvr_data):
     # aux bce for click after training should be well below chance entropy
     _, _, aux = model.apply(ts.params, {}, batch, train=False)
     assert float(aux["click_bce"]) < 0.63, aux
+
+
+def test_ple_learns_and_isolates_gradients(cvr_data):
+    fs, data = cvr_data
+    train, test = train_test_split(data, 0.2, seed=5)
+    model = get_model("ple", fs, n_task_experts=2, n_shared_experts=2,
+                      n_layers=2, expert_dim=64, tower_hidden=(32,))
+    ts, res = fit(model, train, epochs=6, batch_size=256, learning_rate=5e-3,
+                  eval_data=test)
+    assert res.eval_metrics["auc"] > 0.70, res.eval_metrics
+    _, _, aux = model.apply(ts.params, {}, next(iter_batches(test, 1024)),
+                            train=False)
+    assert float(aux["click_bce"]) < 0.63, aux
+
+
+def test_ple_private_experts_untouched_by_other_task():
+    """CGC routing invariant: task 0's loss must produce ZERO gradient on
+    task 1's private experts (first layer) — the property PLE adds over
+    MMoE (whose shared experts all receive every task's gradient)."""
+    fs, data = make_cvr_data(n_rows=256, n_dense=2, n_sparse=4, vocab_size=10,
+                             embed_dim=4, seed=7)
+    model = get_model("ple", fs, n_task_experts=1, n_shared_experts=1,
+                      n_layers=1, expert_dim=8, tower_hidden=(8,))
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = next(iter_batches(data, 64))
+
+    def primary_loss(p):
+        lg, _, _ = model.apply(p, state, batch, train=True)
+        return jnp.mean(jnp.square(lg))
+
+    g = jax.grad(primary_loss)(params)
+    gl = g["layers"][0]
+    # expert 0 = task 0 private, expert 1 = task 1 private, expert 2 = shared
+    assert float(jnp.abs(gl["w"][0]).sum()) > 0
+    assert float(jnp.abs(gl["w"][2]).sum()) > 0
+    assert float(jnp.abs(gl["w"][1]).sum()) == 0.0  # task-1 private: no grad
+    # task 1's gate never influences the primary logit either
+    assert float(jnp.abs(gl["gate_w"][1]).sum()) == 0.0
 
 
 def test_esmm_serves_without_labels(cvr_data, tmp_path):
