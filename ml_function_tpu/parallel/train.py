@@ -41,11 +41,26 @@ def _is_table_path(path) -> bool:
     return "embedding" in keys and ("table" in keys or "linear" in keys)
 
 
+def _is_expert_path(path) -> bool:
+    """MoE expert stacks (MMoE/PLE: ``experts.w``/``experts.b`` leaves of
+    shape (E, ...)) — shard the leading expert axis over ``model`` (EP).
+    GSPMD inserts the gate-mix reduction over the expert axis itself."""
+    keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+    return "experts" in keys
+
+
 def param_spec_tree(params: Params) -> Any:
-    """PartitionSpec tree: embedding tables row-sharded, rest replicated."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, x: P(MODEL_AXIS, None) if _is_table_path(path) else P(),
-        params)
+    """PartitionSpec tree: embedding tables row-sharded, MoE expert stacks
+    expert-sharded, rest replicated."""
+
+    def spec(path, x):
+        if _is_table_path(path):
+            return P(MODEL_AXIS, None)
+        if _is_expert_path(path) and x.ndim >= 2:
+            return P(*((MODEL_AXIS,) + (None,) * (x.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def _pad_tables(tree: Params, num_shards: int) -> Params:

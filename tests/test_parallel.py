@@ -263,6 +263,40 @@ def test_a2a_train_step_matches_psum(mesh42):
     assert np.isclose(outs["psum"], outs["a2a"], rtol=1e-5), outs
 
 
+def test_expert_parallel_mmoe_matches_single_device():
+    """EP: MMoE expert stacks shard their leading (expert) axis over
+    'model'; one sharded step == the single-device step, and the spec tree
+    actually marks the expert leaves."""
+    from jax.sharding import PartitionSpec as P
+    from ml_function_tpu.features.synthetic import make_cvr_data
+    from ml_function_tpu.train.loop import create_train_state, make_train_step
+
+    fs, data = make_cvr_data(n_rows=64, n_dense=2, n_sparse=4, vocab_size=9,
+                             embed_dim=4, seed=13)
+    model = get_model("mmoe", fs, n_experts=4, expert_hidden=(8,),
+                      tower_hidden=(8,))
+    opt = optax.sgd(0.1)
+    batch = next(iter_batches(data, 32))
+
+    ts = create_train_state(model, jax.random.PRNGKey(3), opt)
+    step = make_train_step(model, opt, donate=False)
+    ts1, out1 = step(ts, batch)
+
+    mesh = make_mesh(data=2, model=4)
+    sts = create_sharded_state(model, jax.random.PRNGKey(3), opt, mesh)
+    specs = param_spec_tree(sts.params)
+    assert specs["experts"]["w"][0] == P("model", None, None), specs["experts"]
+    assert specs["experts"]["b"][0] == P("model", None)
+    sstep = make_sharded_train_step(model, opt, mesh, donate=False)
+    sts1, out2 = sstep(sts, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sts1.params["experts"]["w"][0]),
+                               np.asarray(ts1.params["experts"]["w"][0]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_sequence_model_matches_single_device():
     """The behavior family shards too: one DIN step on a 2x4 mesh == the
     single-device step (seq lookups ride the same collective exchange)."""
