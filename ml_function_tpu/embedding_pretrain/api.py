@@ -20,6 +20,20 @@ from .walks import deepwalk_walks, node2vec_walks, walks_to_skipgram_pairs
 from .word2vec import Word2VecConfig, embeddings_to_dict, train_word2vec
 
 
+def _use_native(engine: str) -> bool:
+    """engine='auto'|'native'|'python' → whether to run the C++ walk engine
+    (``native_walks.py``; multithreaded, statistically identical walks)."""
+    if engine == "python":
+        return False
+    from . import native_walks
+    if engine == "native":
+        native_walks.get_lib()  # raise NativeBuildError loudly
+        return True
+    if engine != "auto":
+        raise ValueError(f"engine {engine!r} not in ('auto','native','python')")
+    return native_walks.native_available()
+
+
 @dataclass
 class DeepWalk:
     graph: CSRGraph
@@ -28,10 +42,15 @@ class DeepWalk:
     window: int = 5
     dim: int = 64
     seed: int = 0
+    engine: str = "auto"
 
     def transform(self) -> Dict[str, np.ndarray]:
-        walks = deepwalk_walks(self.graph, self.num_walks, self.walk_length,
-                               self.seed)
+        if _use_native(self.engine):
+            from .native_walks import deepwalk_walks_native as walk_fn
+        else:
+            walk_fn = deepwalk_walks
+        walks = walk_fn(self.graph, self.num_walks, self.walk_length,
+                        self.seed)
         pairs = walks_to_skipgram_pairs(walks, self.window, self.seed)
         emb = train_word2vec(pairs, self.graph.num_nodes,
                              Word2VecConfig(dim=self.dim, seed=self.seed))
@@ -48,10 +67,15 @@ class Node2Vec:
     window: int = 5
     dim: int = 64
     seed: int = 0
+    engine: str = "auto"
 
     def transform(self) -> Dict[str, np.ndarray]:
-        walks = node2vec_walks(self.graph, self.num_walks, self.walk_length,
-                               self.p, self.q, self.seed)
+        if _use_native(self.engine):
+            from .native_walks import node2vec_walks_native as walk_fn
+        else:
+            walk_fn = node2vec_walks
+        walks = walk_fn(self.graph, self.num_walks, self.walk_length,
+                        p=self.p, q=self.q, seed=self.seed)
         pairs = walks_to_skipgram_pairs(walks, self.window, self.seed)
         emb = train_word2vec(pairs, self.graph.num_nodes,
                              Word2VecConfig(dim=self.dim, seed=self.seed))
