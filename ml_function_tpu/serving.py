@@ -55,6 +55,62 @@ class Scorer:
         return out
 
 
+class ShardedScorer:
+    """Multi-chip scoring: embedding tables row-sharded over the mesh's
+    'model' axis (a serving fleet whose tables outgrow one chip's HBM),
+    batch sharded over 'data'; lookups ride the same collective exchange as
+    sharded training. Output matches the single-device ``Scorer`` bit-for-
+    policy (same f32 math, different device layout)."""
+
+    def __init__(self, model: Model, params, mesh, model_state=None,
+                 batch_size: int = 4096, exchange: str = "psum"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.context import sharded_embeddings
+        from .parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from .parallel.train import _pad_tables, param_spec_tree
+
+        if batch_size % mesh.shape[DATA_AXIS]:
+            raise ValueError(f"batch_size {batch_size} must divide the "
+                             f"data axis ({mesh.shape[DATA_AXIS]})")
+        self.model = model
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self._exchange = exchange
+        self._ctx = sharded_embeddings
+        params = _pad_tables(params, mesh.shape[MODEL_AXIS])
+        specs = param_spec_tree(params)
+        self.params = jax.device_put(
+            params, jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda s: isinstance(s, P)))
+        rep = NamedSharding(mesh, P())
+        self.model_state = (jax.device_put(model_state, rep)
+                            if model_state else {})
+
+        def fwd(params, state, batch):
+            logits, _, _ = model.apply(params, state, batch, train=False)
+            return jax.nn.sigmoid(logits)
+
+        self._fwd = jax.jit(fwd)
+
+    def predict_proba(self, data: Dict[str, Any]) -> np.ndarray:
+        from .parallel.train import shard_batch
+        n = len(next(v for k, v in data.items() if k != "seq"))
+        if "label" not in data:
+            data = dict(data)
+            data["label"] = np.zeros(n, np.float32)
+        out = np.empty(n, np.float32)
+        pos = 0
+        for batch in iter_batches(data, self.batch_size):
+            take = int(batch["weight"].sum())
+            sb = shard_batch(batch, self.mesh)
+            with self._ctx(self.mesh, mode=self._exchange):
+                p = np.asarray(self._fwd(self.params, self.model_state, sb))
+            out[pos:pos + take] = p[:take]
+            pos += take
+        return out
+
+
 # ---------------------------------------------------------------------------
 # export / load
 # ---------------------------------------------------------------------------

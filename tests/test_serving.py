@@ -24,6 +24,30 @@ def test_scorer_matches_direct_apply():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_scorer_matches_single_device():
+    """ShardedScorer over a 4x2 mesh == Scorer on one device (tables
+    row-sharded, batch data-sharded, same probabilities)."""
+    from ml_function_tpu.parallel.mesh import make_mesh
+    from ml_function_tpu.serving import ShardedScorer
+
+    fs, data = make_criteo_like(n_rows=100, n_dense=2, n_sparse=4,
+                                vocab_size=9, embed_dim=4, seed=3)
+    model = get_model("deepfm", fs, hidden=(8,))
+    params, state = model.init(jax.random.PRNGKey(1))
+    want = Scorer(model, params, state, batch_size=32).predict_proba(data)
+
+    mesh = make_mesh(data=4, model=2)
+    for exchange in ("psum", "a2a"):
+        ss = ShardedScorer(model, params, mesh, state, batch_size=32,
+                           exchange=exchange)
+        got = ss.predict_proba(data)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    import pytest
+    with pytest.raises(ValueError):
+        ShardedScorer(model, params, mesh, state, batch_size=33)
+
+
 def test_export_load_roundtrip(tmp_path):
     fs, data = make_criteo_like(n_rows=64, n_dense=2, n_sparse=3,
                                 vocab_size=11, embed_dim=4)
