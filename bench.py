@@ -364,6 +364,33 @@ def bench_loader(rows: int = 500_000) -> float:
     return rows / dt
 
 
+def bench_walks(n_nodes: int = 20_000, n_edges: int = 200_000) -> float:
+    """Native C++ walk engine throughput (steps/s) on a random graph."""
+    import numpy as np
+
+    from ml_function_tpu.embedding_pretrain import native_walks
+    from ml_function_tpu.embedding_pretrain.graph import from_edges
+    if not native_walks.native_available():
+        log("walks: g++ unavailable, skipped")
+        return 0.0
+    rng = np.random.default_rng(0)
+    edges = [(str(s), str(d), 1.0) for s, d in
+             zip(rng.integers(0, n_nodes, n_edges),
+                 rng.integers(0, n_nodes, n_edges))]
+    g = from_edges(edges, undirected=True)
+    native_walks.deepwalk_walks_native(g, 1, 5)  # warm build
+    t0 = time.perf_counter()
+    w = native_walks.deepwalk_walks_native(g, num_walks=10, walk_length=20)
+    dt = time.perf_counter() - t0
+    log(f"walks (deepwalk native): {w.size/dt/1e6:.1f}M steps/s")
+    t0 = time.perf_counter()
+    w = native_walks.node2vec_walks_native(g, num_walks=2, walk_length=20,
+                                           p=2.0, q=0.5)
+    dt = time.perf_counter() - t0
+    log(f"walks (node2vec native): {w.size/dt/1e6:.1f}M steps/s")
+    return w.size / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
@@ -379,11 +406,14 @@ def main():
     eps = bench_jax(args.steps)
     if args.all:
         bench_model("xdeepfm", args.steps // 2)
+        bench_model("dlrm", args.steps // 2)
+        bench_model("fibinet", args.steps // 2)
         bench_lookup_rate()
         bench_scoring()
         bench_seq_model("din")
         bench_seq_model("dien")
         bench_loader()
+        bench_walks()
     tf_eps = 0.0 if args.skip_tf else get_tf_baseline()
     vs = eps / tf_eps if tf_eps > 0 else 0.0
     print(json.dumps({

@@ -86,10 +86,13 @@ def ring_attention_local(q, k_local, v_local, bias_local, axis_name,
     b, h, lq, dh = q.shape
     # accumulators become shard-varying inside the loop — mark them so the
     # scan carry types line up under shard_map
+    def vary(x):
+        return jax.lax.pcast(x, axis_name, to="varying")
+
     init = (k_local, v_local, bias_local,
-            jax.lax.pvary(jnp.full((b, h, lq, 1), NEG_INF), axis_name),
-            jax.lax.pvary(jnp.zeros((b, h, lq, 1)), axis_name),
-            jax.lax.pvary(jnp.zeros((b, h, lq, dh)), axis_name))
+            vary(jnp.full((b, h, lq, 1), NEG_INF)),
+            vary(jnp.zeros((b, h, lq, 1))),
+            vary(jnp.zeros((b, h, lq, dh))))
     (k, v, bias, m, l, acc), _ = jax.lax.scan(step, init, None, length=n)
     return acc / jnp.maximum(l, 1e-30)
 
