@@ -77,3 +77,65 @@ def metrics_summary(state: MetricState) -> Dict[str, float]:
         "logloss": float(compute_logloss(state)),
         "count": float(state["count"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Eval-side ranking/calibration metrics (host numpy — run on gathered
+# predictions, not in the jitted step). The reference evaluates AUC only;
+# production CTR eval also reports GAUC (per-user AUC, the metric DIN/DIEN
+# report in their papers) and calibration.
+
+def gauc(labels, probs, groups, min_size: int = 2):
+    """Group-averaged AUC: impression-weighted mean of per-group AUCs over
+    groups that contain both classes (Zhou et al., DIN §6.2). Returns
+    (gauc, n_groups_used)."""
+    import numpy as np
+
+    labels = np.asarray(labels, np.float64).reshape(-1)
+    probs = np.asarray(probs, np.float64).reshape(-1)
+    groups = np.asarray(groups).reshape(-1)
+    order = np.argsort(groups, kind="stable")
+    labels, probs, groups = labels[order], probs[order], groups[order]
+    bounds = np.flatnonzero(np.r_[True, groups[1:] != groups[:-1], True])
+    total_w = 0.0
+    acc = 0.0
+    used = 0
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        y, p = labels[lo:hi], probs[lo:hi]
+        n = hi - lo
+        npos = y.sum()
+        if n < min_size or npos == 0 or npos == n:
+            continue
+        r = np.empty(n)
+        o = np.argsort(p, kind="stable")
+        ps = p[o]
+        # average ranks with ties
+        rk = np.arange(1, n + 1, dtype=np.float64)
+        ties = np.r_[True, ps[1:] != ps[:-1]]
+        grp = np.cumsum(ties) - 1
+        cnt = np.bincount(grp)
+        csum = np.bincount(grp, weights=rk)
+        r[o] = (csum / cnt)[grp]
+        auc = (r[y > 0].sum() - npos * (npos + 1) / 2) / (npos * (n - npos))
+        acc += n * auc
+        total_w += n
+        used += 1
+    return (acc / total_w if total_w else 0.5), used
+
+
+def calibration(labels, probs, n_bins: int = 20):
+    """Predicted-vs-observed CTR: overall ratio (Σp/Σy — production
+    calibration monitoring) and expected calibration error over equal-width
+    probability bins."""
+    import numpy as np
+
+    labels = np.asarray(labels, np.float64).reshape(-1)
+    probs = np.asarray(probs, np.float64).reshape(-1)
+    ratio = probs.sum() / max(labels.sum(), 1e-12)
+    bins = np.clip((probs * n_bins).astype(np.int64), 0, n_bins - 1)
+    cnt = np.bincount(bins, minlength=n_bins).astype(np.float64)
+    psum = np.bincount(bins, weights=probs, minlength=n_bins)
+    ysum = np.bincount(bins, weights=labels, minlength=n_bins)
+    nz = cnt > 0
+    ece = float(np.sum(np.abs(psum[nz] - ysum[nz])) / max(len(labels), 1))
+    return {"ratio": float(ratio), "ece": ece}

@@ -54,6 +54,50 @@ def test_weighted_metrics_ignore_padding(rng):
     assert float(compute_auc(m)) == 1.0
 
 
+def test_gauc_matches_sklearn_per_group():
+    from sklearn.metrics import roc_auc_score
+
+    from ml_function_tpu.train.metrics import gauc
+    nprng = np.random.default_rng(1)
+    n, n_users = 4000, 37
+    groups = nprng.integers(0, n_users, n)
+    probs = nprng.uniform(size=n)
+    labels = (nprng.uniform(size=n) < probs * 0.8).astype(np.float64)
+    got, used = gauc(labels, probs, groups)
+
+    acc = w = 0.0
+    for u in range(n_users):
+        m = groups == u
+        y = labels[m]
+        if m.sum() < 2 or y.sum() in (0, m.sum()):
+            continue
+        acc += m.sum() * roc_auc_score(y, probs[m])
+        w += m.sum()
+    np.testing.assert_allclose(got, acc / w, rtol=1e-9)
+    assert used > 0
+
+
+def test_gauc_skips_single_class_groups():
+    from ml_function_tpu.train.metrics import gauc
+    labels = np.asarray([1, 1, 0, 1.0])
+    probs = np.asarray([0.9, 0.1, 0.2, 0.8])
+    groups = np.asarray([0, 0, 1, 1])  # group 0 all-pos → skipped
+    got, used = gauc(labels, probs, groups)
+    assert used == 1 and got == 1.0
+
+
+def test_calibration_perfect_and_biased():
+    from ml_function_tpu.train.metrics import calibration
+    nprng = np.random.default_rng(2)
+    probs = nprng.uniform(0.05, 0.95, 20000)
+    labels = (nprng.uniform(size=20000) < probs).astype(np.float64)
+    cal = calibration(labels, probs)
+    assert abs(cal["ratio"] - 1.0) < 0.03
+    assert cal["ece"] < 0.02
+    cal2 = calibration(labels, np.clip(probs * 1.5, 0, 1))
+    assert cal2["ratio"] > 1.3 and cal2["ece"] > cal["ece"]
+
+
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     fs, data = make_criteo_like(n_rows=128, n_dense=2, n_sparse=3,
                                 vocab_size=11, embed_dim=4)
