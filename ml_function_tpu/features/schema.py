@@ -97,7 +97,17 @@ class FeatureSet:
     def __post_init__(self):
         dims = {s.dim for s in self.sparse} | {s.dim for s in self.seq}
         if len(dims) > 1:
-            raise ValueError(f"all sparse/seq specs must share one embed dim, got {dims}")
+            # Deliberate divergence from the reference's per-feature
+            # cross_unit (interactive_layer.py:189-247): the fused
+            # single-gather table (ops/embedding.py) needs one width, and
+            # every interaction op needs equal dims anyway — the reference
+            # ships AlignLayer (core_layer.py:240-257) precisely because
+            # mixed dims break them. Project side embeddings with
+            # ops.core.Align instead.
+            raise ValueError(
+                f"all sparse/seq specs must share one embed dim, got {dims} "
+                "(use one dim for the fused table; project auxiliary "
+                "embeddings with ops.core.Align)")
         names = [s.name for s in self.dense + self.sparse + self.seq]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate feature names in {names}")
