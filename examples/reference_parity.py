@@ -49,6 +49,12 @@ def eval_metrics(y, p):
 def model_hp(args):
     if args.model == "din":
         return {"hidden": (200, 80)}
+    if args.model == "fm":
+        return {}
+    if args.model == "autoint":
+        return {"n_layers": 2, "num_heads": 2, "head_dim": 16}
+    if args.model == "dcn":
+        return {"cross_depth": 3, "hidden": tuple(args.hidden)}
     hp = {"hidden": tuple(args.hidden)}
     if args.model == "xdeepfm":
         hp["cin_hidden"] = tuple(args.cin)
@@ -109,10 +115,78 @@ def run_tf(fs, train, test, args):
                 [ops.reshape(e, (-1, n_sparse * dim)), dense], -1)
             return fm, lin, deep
 
-    fm, lin, deep = FMHead()(e, lin_e, inp_dense)
+    fm, lin, deep_in = FMHead()(e, lin_e, inp_dense)
+    deep = deep_in
     for h in args.hidden:
         deep = layers.Dense(h, activation="relu")(deep)
     deep = layers.Dense(1)(deep)
+
+    if args.model == "fm":
+        # reference FM (models.py:36-41): first + second order only
+        class FMScore(layers.Layer):
+            def call(self, fm, lin):
+                return ops.sigmoid(fm + lin)
+
+        m = keras.Model([inp_dense, inp_sparse], FMScore()(fm, lin))
+        return _tf_fit_eval(m, train, test, args)
+
+    if args.model == "wide_deep":
+        # reference Wide_Deep (models.py:69-78): linear ⊕ DNN
+        class WDScore(layers.Layer):
+            def call(self, lin, deep):
+                return ops.sigmoid(lin + deep[:, 0])
+
+        m = keras.Model([inp_dense, inp_sparse], WDScore()(lin, deep))
+        return _tf_fit_eval(m, train, test, args)
+
+    if args.model == "dcn":
+        # reference DCN (models.py:92-106): 3 cross layers ⊕ DNN → head
+        class CrossNet(layers.Layer):
+            def __init__(self, depth=3):
+                super().__init__()
+                self.depth = depth
+
+            def build(self, shape):
+                d = shape[-1]
+                self.ws = [self.add_weight(shape=(d, 1),
+                                           initializer="glorot_uniform",
+                                           name=f"w{i}")
+                           for i in range(self.depth)]
+                self.bs = [self.add_weight(shape=(d,), initializer="zeros",
+                                           name=f"b{i}")
+                           for i in range(self.depth)]
+
+            def call(self, x0):
+                x = x0
+                for w, b in zip(self.ws, self.bs):
+                    x = x0 * ops.matmul(x, w) + b + x
+                return x
+
+        xc = CrossNet(3)(deep_in)
+        xd = deep_in
+        for h in args.hidden:
+            xd = layers.Dense(h, activation="relu")(xd)
+        out = layers.Dense(1, activation="sigmoid")(
+            ops.concatenate([xc, xd], -1))[:, 0]
+        m = keras.Model([inp_dense, inp_sparse], out)
+        return _tf_fit_eval(m, train, test, args)
+
+    if args.model == "autoint":
+        # AutoInt (models.py:150-165): stacked field MHA (+ dense
+        # pseudo-field, matching ours) → flatten → logit
+        h_fields = e
+        if n_dense:
+            df = layers.Dense(dim)(inp_dense)
+            h_fields = ops.concatenate([h_fields, df[:, None, :]], 1)
+        for _ in range(2):
+            att = layers.MultiHeadAttention(num_heads=2, key_dim=16,
+                                            output_shape=dim)(
+                h_fields, h_fields)
+            h_fields = layers.LayerNormalization()(h_fields + att)
+        out = layers.Dense(1, activation="sigmoid")(
+            layers.Flatten()(h_fields))[:, 0]
+        m = keras.Model([inp_dense, inp_sparse], out)
+        return _tf_fit_eval(m, train, test, args)
 
     if args.model == "xdeepfm":
         # CIN head replaces the FM term (reference XDeepFM composition,
@@ -145,9 +219,14 @@ def run_tf(fs, train, test, args):
 
     out = Score()(fm, lin, deep)
     m = keras.Model([inp_dense, inp_sparse], out)
+    return _tf_fit_eval(m, train, test, args)
+
+
+def _tf_fit_eval(m, train, test, args):
+    import keras
+
     m.compile(optimizer=keras.optimizers.Adam(args.lr),
               loss="binary_crossentropy")
-
     t0 = time.perf_counter()
     m.fit([train["dense"], train["sparse"]], train["label"],
           batch_size=args.batch, epochs=args.epochs, verbose=2)
@@ -244,7 +323,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--hidden", type=int, nargs="+", default=[256, 128, 64])
-    ap.add_argument("--model", choices=["deepfm", "xdeepfm", "din"],
+    ap.add_argument("--model", choices=["fm", "wide_deep", "deepfm",
+                                        "xdeepfm", "dcn", "autoint", "din"],
                     default="deepfm")
     ap.add_argument("--seq-len", type=int, default=32)
     ap.add_argument("--cin", type=int, nargs="+", default=[64, 64])
