@@ -4,7 +4,7 @@
 from .base import Model
 from .interaction import (AFM, DCN, DLRM, FFM, NFM, PNN, AutoInt, DeepCross,
                           DeepFM, FiBiNET, FM, FwFM, WideDeep, xDeepFM)
-from .longseq import DTS, MIMN, SIM
+from .longseq import DTS, HPMN, MIMN, SIM
 from .multitask import ESMM, MMoE, PLE
 from .sequence import BST, DIEN, DIN, DSIN, DSTN, SeqFM
 
@@ -32,6 +32,7 @@ MODEL_REGISTRY = {
     "dts": DTS,
     "mimn": MIMN,
     "sim": SIM,
+    "hpmn": HPMN,
     "esmm": ESMM,
     "mmoe": MMoE,
     "ple": PLE,
@@ -49,4 +50,5 @@ def get_model(name: str, feature_set, **hp) -> Model:
 __all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "FFM", "FwFM", "PNN",
            "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
            "AutoInt", "FiBiNET", "DLRM", "DIN", "DIEN", "BST", "DSIN",
-           "SeqFM", "DSTN", "DTS", "MIMN", "SIM", "ESMM", "MMoE", "PLE"]
+           "SeqFM", "DSTN", "DTS", "MIMN", "SIM", "HPMN", "ESMM", "MMoE",
+           "PLE"]

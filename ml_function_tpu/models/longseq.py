@@ -1,9 +1,12 @@
 """Long-sequence tier: DTS (latent time stream), MIMN (NTM memory),
-SIM (search-based interest).
+SIM (search-based interest), HPMN (lifelong periodic memory).
 
 TPU-native counterparts of the reference constructors
 (``kon/model/ctr_model/model/models.py``): DTS (:313), MIMN (:351),
-SIM (:392). All recurrences are ``lax.scan`` over time-major layouts.
+SIM (:392). HPMN implements the reference's "Next Building" roadmap item #1
+(``kon/model/ctr_model/README.md`` — "[LSM] Lifelong Sequential Modeling with
+Personalized Memorization", i.e. the SIGIR'19 HPMN paper the reference never
+built). All recurrences are ``lax.scan`` over time-major layouts.
 
 Design corrections vs. the reference (documented divergences):
 - MIMN's learned initial state is batch-size-shaped in the reference
@@ -337,3 +340,113 @@ def SIM(fs: FeatureSet,
         return logit[:, 0], {"aux_loss": aux_weight * aux, "emb_l2": l2}
 
     return stateless("SIM", fs, init_fn, fwd)
+
+
+# ---------------------------------------------------------------------------
+# HPMN (the reference's LSM roadmap item)
+# ---------------------------------------------------------------------------
+
+
+def HPMN(fs: FeatureSet,
+         candidate: Tuple[str, ...] = ("item", "cate"),
+         behavior: Tuple[str, ...] = ("hist_item", "hist_cate"),
+         layers: int = 3,
+         hidden: Tuple[int, ...] = (200, 80),
+         cov_weight: float = 0.1) -> Model:
+    """Hierarchical Periodic Memory Network (lifelong sequential modeling).
+
+    The reference lists "[LSM] Lifelong Sequential Modeling with Personalized
+    Memorization" as its Next-Building item #1 (kon/model/ctr_model/README.md)
+    but never implemented it. HPMN (Ren et al., SIGIR 2019) is that paper's
+    model:
+
+    - ``layers`` stacked GRU memory slots; layer ``l`` (0-based) updates only
+      every ``2**l`` *valid* behavior steps — slower layers memorize
+      longer-period, coarser interests. Layer 0 reads the behavior embedding;
+      layer ``l`` reads layer ``l−1``'s state at its update ticks (hierarchy).
+    - The final per-layer states form the user memory M (B, layers, H); the
+      candidate reads it with target attention (the paper's attentive read).
+    - A covariance regularizer decorrelates the memory slots
+      (‖M̄M̄ᵀ − diag‖²) so layers do not collapse onto one interest.
+
+    TPU design: ONE ``lax.scan`` over time carries (states, valid-step count);
+    the per-layer "does it tick" decision is a mask select (no dynamic control
+    flow), and layer 0's input projections are hoisted out of the scan as a
+    single MXU matmul. Padded steps advance nothing (right-padding as in the
+    reference's ``is_sequence_right_padded``, rnn_demo.py:1541).
+    """
+    fe = FusedEmbedding(fs, with_linear=False)
+    d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
+    H = kd
+    cell0 = GRU(kd, H)          # layer 0: reads behavior embeddings
+    cell_up = GRU(H, H)         # layers 1..D-1: read the layer below
+    attn = TargetAttention(kd, (36, 1), activation="sigmoid")
+    in_dim = kd * 2 + n_other * d + len(fs.dense)
+    mlp = MLP(in_dim, hidden, activation="prelu", norm="layer", out_dim=1)
+
+    def init_fn(rng):
+        names = ["emb", "attn", "mlp", "m0"] + [f"cell{l}" for l in range(layers)]
+        rngs = split_rngs(rng, names)
+        cells = [
+            (cell0 if l == 0 else cell_up).init(rngs[f"cell{l}"])
+            for l in range(layers)
+        ]
+        return {"embedding": fe.init(rngs["emb"]),
+                "cells": cells,
+                "m0": normal_init(rngs["m0"], (layers, H), 0.05),
+                "attn": attn.init(rngs["attn"]),
+                "mlp": mlp.init(rngs["mlp"])}
+
+    def fwd(params, batch, train):
+        cand, beh, mask, l2, emb = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
+        b = beh.shape[0]
+        # hoist layer-0 input projections: (B, L, 3H) in one matmul
+        xw0 = (bf16_matmul(beh.reshape(b * L, kd), params["cells"][0]["wx"])
+               + params["cells"][0]["b"]).reshape(b, L, 3 * H)
+        m0 = jnp.broadcast_to(params["m0"], (b, layers, H))
+        cnt0 = jnp.zeros((b,), jnp.int32)
+
+        def step(carry, inp):
+            states, cnt = carry              # (B, D, H), (B,)
+            xw_t, m_t = inp                  # (B, 3H), (B,)
+            cnt_new = cnt + m_t.astype(jnp.int32)
+            new_states = []
+            below = None
+            for l in range(layers):
+                h = states[:, l, :]
+                # layer l ticks when the valid-step count hits a multiple of
+                # 2**l (and the step itself is valid)
+                tick = m_t & (jnp.remainder(cnt_new, 2 ** l) == 0)
+                if l == 0:
+                    h_new = cell0._step(params["cells"][0], h, xw_t, tick)
+                else:
+                    xw_l = (bf16_matmul(below, params["cells"][l]["wx"])
+                            + params["cells"][l]["b"])
+                    h_new = cell_up._step(params["cells"][l], h, xw_l, tick)
+                below = h_new
+                new_states.append(h_new)
+            return (jnp.stack(new_states, axis=1), cnt_new), None
+
+        (mem, _), _ = jax.lax.scan(
+            step, (m0, cnt0),
+            (jnp.transpose(xw0, (1, 0, 2)), jnp.transpose(mask)))
+
+        # covariance regularization over slots (paper eq. 10): decorrelate
+        mbar = mem - jnp.mean(mem, axis=1, keepdims=True)
+        cov = jnp.einsum("bld,bkd->blk", mbar, mbar) / H
+        off = cov * (1.0 - jnp.eye(layers))
+        cov_reg = jnp.mean(jnp.sum(jnp.square(off), axis=(1, 2)))
+
+        slot_mask = jnp.ones((b, layers), bool)
+        read = attn(params["attn"], cand, mem, slot_mask)
+        parts = [cand, read]
+        other = _other_sparse(fs, emb, candidate)
+        if other is not None:
+            parts.append(other)
+        if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
+            parts.append(batch["dense"])
+        logit, _ = mlp(params["mlp"], jnp.concatenate(parts, axis=-1))
+        return logit[:, 0], {"cov_reg": cov_weight * cov_reg, "emb_l2": l2}
+
+    return stateless("HPMN", fs, init_fn, fwd)

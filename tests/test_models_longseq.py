@@ -22,6 +22,7 @@ def beh_data():
     ("dts", {"hidden": (16, 8)}),
     ("mimn", {"hidden": (16, 8), "memory_slots": 4, "channels": 4}),
     ("sim", {"hidden": (16, 8), "top_k": 4}),
+    ("hpmn", {"hidden": (16, 8), "layers": 3}),
 ])
 def test_longseq_forward_and_grad(beh_data, name, kw):
     fs, data = beh_data
@@ -83,6 +84,38 @@ def test_sim_hard_search_mode():
     batch = next(iter_batches(data, 16))
     logits, _, aux = model.apply(params, state, batch, train=True)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_hpmn_periodic_hierarchy(beh_data):
+    """Layer l updates every 2**l valid steps: with a history shorter than
+    2**(layers-1), the slowest layer must never tick — its memory slot stays
+    at the learned init regardless of the behaviors."""
+    from ml_function_tpu.models.longseq import HPMN
+
+    fs, data = beh_data
+    model = HPMN(fs, layers=3, hidden=(16, 8))
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = next(iter_batches(data, 8))
+    seq = {k: np.array(v) for k, v in batch["seq"].items()}
+    # keep exactly 3 valid steps (< 2**2=4): layer 2 never ticks
+    for k in seq:
+        seq[k][:, 3:] = 0
+    short = dict(batch, seq=seq)
+
+    # perturb ONLY the slowest layer's cell weights
+    pert = jax.tree_util.tree_map(lambda x: x, params)
+    pert["cells"] = list(pert["cells"])
+    pert["cells"][2] = jax.tree_util.tree_map(lambda x: x + 0.3,
+                                              params["cells"][2])
+
+    def run(p, b):
+        lg, _, _ = model.apply(p, state, b, train=False)
+        return np.asarray(lg)
+
+    # 3 valid steps: layer 2 never ticks → its cell params are inert
+    np.testing.assert_allclose(run(params, short), run(pert, short), atol=1e-6)
+    # full 8-step history: layer 2 ticks (steps 4 and 8) → params matter
+    assert not np.allclose(run(params, batch), run(pert, batch))
 
 
 def test_dts_uses_time_deltas(beh_data):
