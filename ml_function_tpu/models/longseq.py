@@ -277,7 +277,8 @@ def SIM(fs: FeatureSet,
         top_k: int = 8,
         num_heads: int = 2,
         hidden: Tuple[int, ...] = (200, 80),
-        aux_weight: float = 1.0) -> Model:
+        aux_weight: float = 1.0,
+        esu_attention: str = "softmax") -> Model:
     """Search-based Interest Model (reference ``SIM``, models.py:392-426).
 
     Two-stage: a General Search Unit reduces the long sequence — 'hard'
@@ -293,7 +294,11 @@ def SIM(fs: FeatureSet,
     fe = FusedEmbedding(fs, with_linear=False)
     d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
     dien = DIEN(fs, candidate, behavior, hidden=hidden)
-    mha = MultiHeadAttention(kd, num_heads)
+    if esu_attention == "lsh":  # roadmap hash option over the long sequence
+        from ..ops.attention import LSHSelfAttention
+        mha = LSHSelfAttention(kd, num_heads)
+    else:
+        mha = MultiHeadAttention(kd, num_heads)
     attn = TargetAttention(kd, (36, 1), activation="sigmoid")
     in_dim = kd * 3 + n_other * d + len(fs.dense)
     mlp = MLP(in_dim, hidden, activation="prelu", norm="layer", out_dim=1)

@@ -177,15 +177,19 @@ def BST(fs: FeatureSet,
         behavior: Tuple[str, ...] = ("hist_item", "hist_cate"),
         n_blocks: int = 1,
         num_heads: int = 2,
-        hidden: Tuple[int, ...] = (200, 80)) -> Model:
+        hidden: Tuple[int, ...] = (200, 80),
+        attention: str = "softmax") -> Model:
     """Behavior Sequence Transformer (reference ``BST``, models.py:336-349).
 
     The candidate is appended as the last sequence position (paper semantics —
     the reference instead splits the sequence into pairs, models.py:342-343),
-    sin/cos positions added, transformer blocks, masked mean-pool → MLP."""
+    sin/cos positions added, transformer blocks, masked mean-pool → MLP.
+    ``attention='lsh'`` uses Reformer hash-bucketed attention for long
+    histories (the reference roadmap's promised hash option)."""
     fe = FusedEmbedding(fs, with_linear=False)
     d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
-    block = TransformerBlock(kd, num_heads, ffn_hidden=(4 * kd,))
+    block = TransformerBlock(kd, num_heads, ffn_hidden=(4 * kd,),
+                             attention=attention)
     in_dim = kd + n_other * d + len(fs.dense)
     mlp = MLP(in_dim, hidden, activation="relu", norm="layer", out_dim=1)
 

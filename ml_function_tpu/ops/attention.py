@@ -127,18 +127,32 @@ class MultiHeadAttention:
 @dataclass(frozen=True)
 class TransformerBlock:
     """MHA + position-wise FFN with residuals (reference SelfAttentionLayer +
-    PositionWiseFeedForwardLayer, behavior_layer.py:382-425)."""
+    PositionWiseFeedForwardLayer, behavior_layer.py:382-425).
+
+    ``attention='lsh'`` swaps the softmax product for Reformer LSH bucketed
+    attention (``LSHSelfAttention``) — the hash option the reference's
+    roadmap promises for the product parts (ctr_model/README.md p.s. 2).
+    """
 
     dim: int
     num_heads: int = 2
     ffn_hidden: Tuple[int, ...] = (32,)
     causal: bool = False
+    attention: str = "softmax"      # 'softmax' | 'lsh'
+    lsh_chunk: int = 16
+
+    def _attn(self):
+        if self.attention == "lsh":
+            return LSHSelfAttention(self.dim, self.num_heads,
+                                    chunk_size=self.lsh_chunk,
+                                    causal=self.causal)
+        return MultiHeadAttention(self.dim, self.num_heads,
+                                  causal=self.causal)
 
     def init(self, rng) -> Params:
         rngs = split_rngs(rng, ["mha", "ffn", "ffn_out", "ln"])
         return {
-            "mha": MultiHeadAttention(self.dim, self.num_heads,
-                                      causal=self.causal).init(rngs["mha"]),
+            "mha": self._attn().init(rngs["mha"]),
             "ffn": MLP(self.dim, self.ffn_hidden, activation="relu").init(rngs["ffn"]),
             "ffn_out": Dense(self.ffn_hidden[-1], self.dim).init(rngs["ffn_out"]),
             "ln": LayerNorm(self.dim).init(rngs["ln"]),
@@ -147,11 +161,177 @@ class TransformerBlock:
     def __call__(self, params: Params, x: jax.Array,
                  mask: Optional[jax.Array] = None,
                  extra_bias: Optional[jax.Array] = None) -> jax.Array:
-        h = MultiHeadAttention(self.dim, self.num_heads, causal=self.causal)(
-            params["mha"], x, mask=mask, extra_bias=extra_bias)
+        if self.attention == "lsh":
+            h = self._attn()(params["mha"], x, mask=mask)
+        else:
+            h = self._attn()(params["mha"], x, mask=mask,
+                             extra_bias=extra_bias)
         f, _ = MLP(self.dim, self.ffn_hidden, activation="relu")(params["ffn"], h)
         f = Dense(self.ffn_hidden[-1], self.dim)(params["ffn_out"], f)
         return LayerNorm(self.dim)(params["ln"], h + f)
+
+
+# ---------------------------------------------------------------------------
+# LSH (hash-bucketed) self-attention — Reformer
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LSHSelfAttention:
+    """Reformer LSH self-attention (Kitaev et al. 2020) — the "hash option
+    for the product parts" the reference's roadmap promises but never builds
+    (kon/model/ctr_model/README.md p.s. 2; the REFORMER pdf sits in
+    paper/behavior/).
+
+    Shared-QK attention where keys are bucketed by random-rotation LSH,
+    sorted by bucket, chunked, and each chunk attends to itself plus the
+    previous chunk — O(L·C) instead of O(L²). TPU design: the whole thing is
+    argsort + gathers + one batched (nc, C, 2C) einsum per round; all shapes
+    static, no bucket-size dynamic control flow. Sorting is stable by
+    (bucket, position), so within a chunk keys keep temporal order.
+
+    Choices (documented):
+    - no cross-bucket mask inside the attend window (trax-style: sorting
+      already clusters buckets; with ``chunk_size ≥ L`` this makes the op
+      EXACTLY shared-QK full attention — pinned in tests);
+    - self-attention gets the paper's −1e5 penalty (a token prefers other
+      targets but can fall back to itself when its bucket is a singleton);
+    - ``n_hashes`` rounds are combined with per-query softmax-normalizer
+      weights (paper eq. for multi-round LSH).
+    """
+
+    dim: int
+    num_heads: int = 2
+    head_dim: Optional[int] = None
+    n_buckets: int = 8
+    chunk_size: int = 16
+    n_hashes: int = 1
+    causal: bool = False
+    use_res: bool = True
+    use_ln: bool = True
+    seed: int = 0
+    SELF_PENALTY = -1e5
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or max(self.dim // self.num_heads, 1)
+
+    @property
+    def proj_dim(self) -> int:
+        return self.num_heads * self.hd
+
+    def init(self, rng) -> Params:
+        rngs = split_rngs(rng, ["qk", "v", "o", "ln"])
+        p = {
+            "qk": glorot_uniform(rngs["qk"], (self.dim, self.proj_dim)),
+            "v": glorot_uniform(rngs["v"], (self.dim, self.proj_dim)),
+            "o": glorot_uniform(rngs["o"], (self.proj_dim, self.dim)),
+        }
+        if self.use_ln:
+            p["ln"] = LayerNorm(self.dim).init(rngs["ln"])
+        return p
+
+    def _buckets(self, qk: jax.Array, rng: jax.Array) -> jax.Array:
+        """Random-rotation LSH: qk (N, L, hd) → int buckets (N, L)."""
+        rot = jax.random.normal(rng, (self.hd, self.n_buckets // 2),
+                                qk.dtype)
+        proj = qk @ rot                                  # (N, L, nb/2)
+        proj = jnp.concatenate([proj, -proj], axis=-1)   # (N, L, nb)
+        return jnp.argmax(proj, axis=-1).astype(jnp.int32)
+
+    def _one_round(self, qk, v, valid, rng):
+        """One hash round. qk/v: (N, L, hd); valid: (N, L) bool.
+        Returns (out (N, L, hd), lse (N, L))."""
+        n, l, hd = qk.shape
+        c = min(self.chunk_size, l)
+        lp = ((l + c - 1) // c) * c
+        buckets = self._buckets(qk, rng)
+        # invalid keys to a virtual last bucket so they sort to the end
+        buckets = jnp.where(valid, buckets, self.n_buckets)
+        # stable sort key: bucket-major, position-minor
+        pos = jnp.arange(l, dtype=jnp.int32)[None, :]
+        s_idx = jnp.argsort(buckets * l + pos, axis=-1)  # (N, L)
+        take = lambda t: jnp.take_along_axis(t, s_idx[..., None], axis=1)
+        sqk, sv = take(qk), take(v)
+        spos = jnp.take_along_axis(jnp.broadcast_to(pos, (n, l)), s_idx,
+                                   axis=-1)
+        svalid = jnp.take_along_axis(valid, s_idx, axis=-1)
+        if lp != l:  # pad to a chunk multiple with inert keys
+            padn = lp - l
+            sqk = jnp.pad(sqk, ((0, 0), (0, padn), (0, 0)))
+            sv = jnp.pad(sv, ((0, 0), (0, padn), (0, 0)))
+            spos = jnp.pad(spos, ((0, 0), (0, padn)), constant_values=l)
+            svalid = jnp.pad(svalid, ((0, 0), (0, padn)))
+        nc = lp // c
+        cq = sqk.reshape(n, nc, c, hd)
+        # keys: this chunk ++ previous chunk (lookback)
+        ck = jnp.concatenate([cq, jnp.roll(cq, 1, axis=1)], axis=2)
+        cv = sv.reshape(n, nc, c, hd)
+        cv = jnp.concatenate([cv, jnp.roll(cv, 1, axis=1)], axis=2)
+        kpos = spos.reshape(n, nc, c)
+        kpos = jnp.concatenate([kpos, jnp.roll(kpos, 1, axis=1)], axis=2)
+        kval = svalid.reshape(n, nc, c)
+        kval = jnp.concatenate([kval, jnp.roll(kval, 1, axis=1)], axis=2)
+        qpos = spos.reshape(n, nc, c)
+
+        logits = jnp.einsum("ngqd,ngkd->ngqk", cq, ck) / np.sqrt(hd)
+        logits = jnp.where(kval[:, :, None, :], logits, NEG_INF)
+        if self.causal:
+            logits = jnp.where(kpos[:, :, None, :] <= qpos[..., None],
+                               logits, NEG_INF)
+        logits = jnp.where(kpos[:, :, None, :] == qpos[..., None],
+                           logits + self.SELF_PENALTY, logits)
+        # max-shifted normalized softmax: with the −1e5 self penalty the raw
+        # logits sit at ~1e5 magnitude where f32 resolution is ~0.008, so
+        # exp(logits − logsumexp) alone loses ~1e-3 of probability mass —
+        # normalize explicitly (weights sum to exactly 1)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - mx)
+        se = jnp.sum(e, axis=-1, keepdims=True)
+        a = e / se
+        lse = (mx + jnp.log(se))[..., 0]                 # (N, nc, C)
+        out = jnp.einsum("ngqk,ngkd->ngqd", a, cv)
+        out = out.reshape(n, lp, hd)[:, :l]
+        lse = lse.reshape(n, lp)[:, :l]
+        # unsort back to temporal order
+        inv = jnp.argsort(s_idx, axis=-1)
+        out = jnp.take_along_axis(out, inv[..., None], axis=1)
+        lse = jnp.take_along_axis(lse, inv, axis=-1)
+        return out, lse
+
+    def __call__(self, params: Params, x: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        """x: (B, L, D); mask: (B, L) valid mask → (B, L, D)."""
+        b, l, _ = x.shape
+        h, hd = self.num_heads, self.hd
+        valid = jnp.ones((b, l), bool) if mask is None else mask
+        qk = bf16_matmul(x, params["qk"]).reshape(b, l, h, hd)
+        v = bf16_matmul(x, params["v"]).reshape(b, l, h, hd)
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, l, hd)
+        qk_f, v_f = fold(qk), fold(v)
+        val_f = jnp.repeat(valid, h, axis=0)
+        outs, lses = [], []
+        base = jax.random.PRNGKey(self.seed)
+        for r in range(self.n_hashes):
+            o, s = self._one_round(qk_f, v_f, val_f,
+                                   jax.random.fold_in(base, r))
+            outs.append(o)
+            lses.append(s)
+        if self.n_hashes == 1:
+            out = outs[0]
+        else:  # weight rounds by their softmax mass (Reformer multi-round)
+            lse_all = jnp.stack(lses)                     # (R, N, L)
+            w = jax.nn.softmax(lse_all, axis=0)[..., None]
+            out = jnp.sum(w * jnp.stack(outs), axis=0)
+        out = out.reshape(b, h, l, hd).transpose(0, 2, 1, 3).reshape(
+            b, l, h * hd)
+        out = bf16_matmul(out, params["o"])
+        out = out * valid[..., None]
+        if self.use_res:
+            out = out + x
+        if self.use_ln:
+            out = LayerNorm(self.dim)(params["ln"], out)
+        return out
 
 
 # ---------------------------------------------------------------------------
