@@ -1,4 +1,4 @@
-"""Behavior-sequence model training (DIN/DIEN/BST/SeqFM/DSTN).
+"""Behavior-sequence model training (DIN/DIEN/BST/SeqFM/DSTN/DMIN/HPMN).
 
 Counterpart of the reference driver ``example/ctr_example/seq.py`` (DIEN on
 'a|b|c' history CSVs). Synthetic planted-interest data by default; pass

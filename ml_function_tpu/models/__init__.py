@@ -6,7 +6,7 @@ from .interaction import (AFM, DCN, DLRM, FFM, NFM, PNN, AutoInt, DeepCross,
                           DeepFM, FiBiNET, FM, FwFM, WideDeep, xDeepFM)
 from .longseq import DTS, HPMN, MIMN, SIM
 from .multitask import ESMM, MMoE, PLE
-from .sequence import BST, DIEN, DIN, DSIN, DSTN, SeqFM
+from .sequence import BST, DIEN, DIN, DMIN, DSIN, DSTN, SeqFM
 
 MODEL_REGISTRY = {
     "fm": FM,
@@ -29,6 +29,7 @@ MODEL_REGISTRY = {
     "dsin": DSIN,
     "seqfm": SeqFM,
     "dstn": DSTN,
+    "dmin": DMIN,
     "dts": DTS,
     "mimn": MIMN,
     "sim": SIM,
@@ -49,6 +50,6 @@ def get_model(name: str, feature_set, **hp) -> Model:
 
 __all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "FFM", "FwFM", "PNN",
            "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
-           "AutoInt", "FiBiNET", "DLRM", "DIN", "DIEN", "BST", "DSIN",
+           "AutoInt", "FiBiNET", "DLRM", "DIN", "DIEN", "DMIN", "BST", "DSIN",
            "SeqFM", "DSTN", "DTS", "MIMN", "SIM", "HPMN", "ESMM", "MMoE",
            "PLE"]

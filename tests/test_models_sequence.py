@@ -10,7 +10,7 @@ from ml_function_tpu.features.synthetic import make_behavior_data
 from ml_function_tpu.models import get_model
 from ml_function_tpu.train.loop import fit, iter_batches, train_test_split
 
-SEQ_MODELS = ["din", "dien", "bst", "seqfm", "dstn"]
+SEQ_MODELS = ["din", "dien", "bst", "seqfm", "dstn", "dmin"]
 
 
 @pytest.fixture(scope="module")
@@ -24,7 +24,8 @@ def beh_data():
 @pytest.mark.parametrize("name", SEQ_MODELS + ["dsin"])
 def test_seq_model_forward_and_grad(beh_data, name):
     fs, data = beh_data
-    kw = {"hidden": (16, 8)} if name in ("din", "dien", "bst", "dsin", "dstn") else {}
+    kw = ({"hidden": (16, 8)}
+          if name in ("din", "dien", "bst", "dsin", "dstn", "dmin") else {})
     model = get_model(name, fs, **kw)
     params, state = model.init(jax.random.PRNGKey(0))
     batch = next(iter_batches(data, 16))
@@ -52,6 +53,21 @@ def test_din_learns():
     _, res = fit(model, train, epochs=10, batch_size=128, learning_rate=3e-3,
                  eval_data=test)
     assert res.eval_metrics["auc"] > 0.60, res.eval_metrics
+
+
+def test_dmin_multi_interest_heads_differ(beh_data):
+    """The K interest channels must produce distinct interest vectors (the
+    point of the multi-interest extractor)."""
+    from ml_function_tpu.models.sequence import DMIN
+
+    fs, data = beh_data
+    model = get_model("dmin", fs, hidden=(16, 8), num_interests=3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = next(iter_batches(data, 16))
+    logits, _, aux = model.apply(params, state, batch, train=True)
+    assert logits.shape == (16,) and float(aux["aux_loss"]) > 0
+    # head projections initialized independently — K separate attn params
+    assert "attn2" in params and "attn0" in params
 
 
 def test_dien_aux_loss_positive(beh_data):
