@@ -147,3 +147,53 @@ def adversarial_validation(train_x, test_x, auc_bar: float = 0.65) -> Tuple[floa
     m.fit(x[order[:cut]], y[order[:cut]])
     auc = roc_auc_score(y[order[cut:]], m.predict_proba(x[order[cut:]])[:, 1])
     return float(auc), bool(auc < auc_bar)
+
+
+@dataclass
+class GBDTLRModel:
+    """GBDT+LR stacking (He et al., ADKDD 2014 — "[GBDT+LR] Practical
+    Lessons from Predicting Clicks on Ads at Facebook" on the reference's
+    Next-Read shelf, paper/Next Read/).
+
+    Boosted trees as a feature transform: each example maps to the one-hot of
+    the leaf it lands in per tree; a sparse logistic regression over those
+    leaf indicators produces the final CTR. The classic pre-deep-learning
+    production CTR stack, useful here as a strong calibrated baseline and as
+    a leaf-feature generator for the deep models.
+    """
+
+    n_estimators: int = 100
+    max_depth: int = 3
+    learning_rate: float = 0.1
+    lr_c: float = 1.0
+
+    def fit(self, x, y):
+        from sklearn.ensemble import GradientBoostingClassifier
+        from sklearn.linear_model import LogisticRegression
+        from sklearn.preprocessing import OneHotEncoder
+
+        x = np.asarray(x, np.float32)
+        y = np.asarray(y).astype(int)
+        self.gbdt_ = GradientBoostingClassifier(
+            n_estimators=self.n_estimators, max_depth=self.max_depth,
+            learning_rate=self.learning_rate, random_state=0)
+        self.gbdt_.fit(x, y)
+        leaves = self.gbdt_.apply(x)[:, :, 0].astype(np.int64)
+        self.encoder_ = OneHotEncoder(handle_unknown="ignore")
+        feats = self.encoder_.fit_transform(leaves)
+        self.lr_ = LogisticRegression(C=self.lr_c, max_iter=1000)
+        self.lr_.fit(feats, y)
+        return self
+
+    def transform(self, x):
+        """Leaf one-hot features (n, Σ leaves/tree) — usable as extra deep
+        inputs too."""
+        leaves = self.gbdt_.apply(np.asarray(x, np.float32))[:, :, 0]
+        return self.encoder_.transform(leaves.astype(np.int64))
+
+    def predict_proba(self, x) -> np.ndarray:
+        return self.lr_.predict_proba(self.transform(x))[:, 1]
+
+    def auc(self, x, y) -> float:
+        return float(roc_auc_score(np.asarray(y).astype(int),
+                                   self.predict_proba(x)))

@@ -126,3 +126,28 @@ def test_eda_report(tmp_path):
     assert out["heatmap"].shape[0] == 5
     for name in ("time_panel", "activity", "rate_by_cat", "heatmap"):
         assert (tmp_path / f"{name}.png").stat().st_size > 1000
+
+
+def test_gbdt_lr_beats_plain_lr():
+    """GBDT+LR leaf features must capture the planted nonlinearity that a
+    plain logistic regression misses (Facebook ADKDD'14 stack)."""
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.metrics import roc_auc_score
+
+    from ml_function_tpu.tools.gbdt import GBDTLRModel
+
+    rng = np.random.default_rng(1)
+    n = 3000
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    # XOR-ish nonlinear target: sign interactions invisible to a linear model
+    logit = 2.0 * (x[:, 0] * x[:, 1]) + 1.5 * (x[:, 2] > 0) * (x[:, 3] > 0)
+    y = (1 / (1 + np.exp(-logit)) > rng.uniform(size=n)).astype(int)
+    tr, te = slice(0, 2400), slice(2400, None)
+
+    m = GBDTLRModel(n_estimators=60, max_depth=3).fit(x[tr], y[tr])
+    auc_stack = m.auc(x[te], y[te])
+    lr = LogisticRegression(max_iter=1000).fit(x[tr], y[tr])
+    auc_lr = roc_auc_score(y[te], lr.predict_proba(x[te])[:, 1])
+    assert auc_stack > auc_lr + 0.1, (auc_stack, auc_lr)
+    # leaf transform is usable standalone
+    assert m.transform(x[te]).shape[0] == 600

@@ -222,3 +222,45 @@ def test_chained_fit_matches_unchained():
     # same data order, same seed → same final metrics (chained drops the
     # tail partial group; allow small diff)
     assert abs(r1.eval_metrics["auc"] - r2.eval_metrics["auc"]) < 0.03
+
+
+def test_ftrl_sparsifies_and_learns():
+    """FTRL-Proximal: L1 proximal step must produce EXACT zeros on junk
+    features while still fitting the informative ones (the paper's point)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ml_function_tpu.train.optimizers import make_optimizer
+
+    rng = np.random.default_rng(0)
+    n, d = 4000, 20
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    w_true = np.zeros(d, np.float32)
+    w_true[:4] = [2.0, -1.5, 1.0, 3.0]          # 16 junk features
+    p = 1 / (1 + np.exp(-(x @ w_true)))
+    y = (rng.uniform(size=n) < p).astype(np.float32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    opt = make_optimizer("ftrl", learning_rate=0.1, lambda1=2.0)
+    params = {"w": jnp.zeros(d), "b": jnp.zeros(())}
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss(p):
+            logits = xj @ p["w"] + p["b"]
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, yj))
+        l, g = jax.value_and_grad(loss)(params)
+        upd, state = opt.update(g, state, params)
+        return optax.apply_updates(params, upd), state, l
+
+    l0 = None
+    for i in range(300):
+        params, state, l = step(params, state)
+        if l0 is None:
+            l0 = float(l)
+    w = np.asarray(params["w"])
+    assert float(l) < l0 * 0.8                       # actually learning
+    assert (np.abs(w[:4]) > 0.1).all()               # signal kept
+    assert (w[4:] == 0.0).sum() >= 10, w             # junk at EXACT zero
