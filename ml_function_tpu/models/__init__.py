@@ -4,6 +4,7 @@
 from .base import Model
 from .interaction import (AFM, DCN, DLRM, FFM, NFM, PNN, AutoInt, DeepCross,
                           DeepFM, FiBiNET, FM, FwFM, WideDeep, xDeepFM)
+from .interaction_ext import (CCPM, FATDeepFFM, FGCNN, FiGNN, FLEN, MLR, ONN)
 from .longseq import DTS, HPMN, MIMN, SIM
 from .multitask import ESMM, MMoE, PLE
 from .sequence import BST, DIEN, DIN, DMIN, DSIN, DSTN, SeqFM
@@ -23,6 +24,13 @@ MODEL_REGISTRY = {
     "autoint": AutoInt,
     "fibinet": FiBiNET,
     "dlrm": DLRM,
+    "ccpm": CCPM,
+    "fgcnn": FGCNN,
+    "flen": FLEN,
+    "onn": ONN,
+    "fat_deepffm": FATDeepFFM,
+    "fignn": FiGNN,
+    "mlr": MLR,
     "din": DIN,
     "dien": DIEN,
     "bst": BST,
@@ -50,6 +58,7 @@ def get_model(name: str, feature_set, **hp) -> Model:
 
 __all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "FFM", "FwFM", "PNN",
            "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
-           "AutoInt", "FiBiNET", "DLRM", "DIN", "DIEN", "DMIN", "BST", "DSIN",
+           "AutoInt", "FiBiNET", "DLRM", "CCPM", "FGCNN", "FLEN", "ONN",
+           "FATDeepFFM", "FiGNN", "MLR", "DIN", "DIEN", "DMIN", "BST", "DSIN",
            "SeqFM", "DSTN", "DTS", "MIMN", "SIM", "HPMN", "ESMM", "MMoE",
            "PLE"]

@@ -12,7 +12,10 @@ from ml_function_tpu.train.loop import fit, iter_batches, train_test_split
 
 INTERACTION_MODELS = ["fm", "ffm", "fwfm", "pnn", "deepcross", "wide_deep",
                       "deepfm", "dcn", "nfm", "xdeepfm", "afm", "autoint",
-                      "fibinet", "dlrm"]
+                      "fibinet", "dlrm",
+                      # Next-Read shelf (models/interaction_ext.py)
+                      "ccpm", "fgcnn", "flen", "onn", "fat_deepffm", "fignn",
+                      "mlr"]
 
 
 @pytest.fixture(scope="module")
@@ -161,6 +164,67 @@ def test_dlrm_learns():
     _, res = fit(model, train, epochs=6, batch_size=256, learning_rate=5e-3,
                  eval_data=test)
     assert res.eval_metrics["auc"] > 0.66, res.eval_metrics
+
+
+def test_onn_pair_features_match_naive(small_data):
+    """ONN's operation-aware pair dots == the textbook v_{i→fj}·v_{j→fi}
+    loop (same storage trick as FFM, different consumption)."""
+    fs, data = small_data
+    f, k = len(fs.sparse), 3
+    model = get_model("onn", fs, ffm_dim=k, hidden=(8,))
+    params, state = model.init(jax.random.PRNGKey(6))
+    batch = next(iter_batches(data, 8))
+    tab = np.asarray(params["ffm"]).reshape(-1, f, k)
+    offs = np.asarray(fs.sparse_offsets())
+    gids = np.asarray(batch["sparse"]) + offs[None, :]
+    # recompute the (B, P) pair features the model consumes
+    import jax.numpy as jnp
+    e = jnp.asarray(tab)[jnp.asarray(gids)]          # (B, F, F, K)
+    t = jnp.sum(e * jnp.swapaxes(e, 1, 2), -1)
+    iu, ju = np.triu_indices(f, k=1)
+    got = np.asarray(t[:, iu, ju])
+    want = np.zeros_like(got)
+    for b in range(8):
+        c = 0
+        for i in range(f):
+            for j in range(i + 1, f):
+                want[b, c] = tab[gids[b, i], j] @ tab[gids[b, j], i]
+                c += 1
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mlr_probability_semantics(small_data):
+    """MLR's logit must invert exactly to Σ_m softmax·sigmoid mixture."""
+    fs, data = small_data
+    model = get_model("mlr", fs, regions=3)
+    params, state = model.init(jax.random.PRNGKey(7))
+    batch = next(iter_batches(data, 16))
+    logits, _, _ = model.apply(params, state, batch)
+    p = 1 / (1 + np.exp(-np.asarray(logits)))
+    assert ((p > 0) & (p < 1)).all()
+
+    from ml_function_tpu.ops.core import Dense, flatten_concat
+    from ml_function_tpu.ops.embedding import FusedEmbedding
+    fe = FusedEmbedding(fs)
+    e, _ = fe.sparse_all(params["embedding"], batch["sparse"])
+    x = flatten_concat([e, jnp.asarray(batch["dense"])])
+    xd = x.shape[-1]
+    region = jax.nn.softmax(Dense(xd, 3)(params["u"], x), -1)
+    scorer = jax.nn.sigmoid(Dense(xd, 3)(params["w"], x))
+    want = np.asarray(jnp.sum(region * scorer, -1))
+    np.testing.assert_allclose(p, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flen_learns():
+    """FLEN recovers planted second-order structure through its grouped
+    bi-interaction."""
+    fs, data = make_criteo_like(n_rows=6000, n_dense=4, n_sparse=9,
+                                vocab_size=30, embed_dim=8, seed=5)
+    train, test = train_test_split(data, 0.2, seed=5)
+    model = get_model("flen", fs, hidden=(64, 32))
+    _, res = fit(model, train, epochs=6, batch_size=256, learning_rate=5e-3,
+                 eval_data=test)
+    assert res.eval_metrics["auc"] > 0.64, res.eval_metrics
 
 
 def test_fm_learns():
