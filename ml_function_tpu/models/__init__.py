@@ -6,8 +6,9 @@ from .interaction import (AFM, DCN, DLRM, FFM, NFM, PNN, AutoInt, DeepCross,
                           DeepFM, FiBiNET, FM, FwFM, WideDeep, xDeepFM)
 from .interaction_ext import (CCPM, FATDeepFFM, FGCNN, FiGNN, FLEN, MLR, ONN)
 from .longseq import DTS, HPMN, MIMN, SIM
+from .match import DSSM
 from .multitask import ESMM, MMoE, PLE
-from .sequence import BST, DIEN, DIN, DMIN, DSIN, DSTN, SeqFM
+from .sequence import BST, DIEN, DIN, DMIN, DSIN, DSTN, MIND, SeqFM
 
 MODEL_REGISTRY = {
     "fm": FM,
@@ -38,6 +39,8 @@ MODEL_REGISTRY = {
     "seqfm": SeqFM,
     "dstn": DSTN,
     "dmin": DMIN,
+    "mind": MIND,
+    "dssm": DSSM,
     "dts": DTS,
     "mimn": MIMN,
     "sim": SIM,
@@ -59,6 +62,6 @@ def get_model(name: str, feature_set, **hp) -> Model:
 __all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "FFM", "FwFM", "PNN",
            "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
            "AutoInt", "FiBiNET", "DLRM", "CCPM", "FGCNN", "FLEN", "ONN",
-           "FATDeepFFM", "FiGNN", "MLR", "DIN", "DIEN", "DMIN", "BST", "DSIN",
-           "SeqFM", "DSTN", "DTS", "MIMN", "SIM", "HPMN", "ESMM", "MMoE",
-           "PLE"]
+           "FATDeepFFM", "FiGNN", "MLR", "DIN", "DIEN", "DMIN", "MIND", "BST",
+           "DSIN", "SeqFM", "DSTN", "DTS", "MIMN", "SIM", "HPMN", "DSSM",
+           "ESMM", "MMoE", "PLE"]

@@ -22,7 +22,8 @@ from ..features.schema import FeatureSet
 from ..ops.attention import (MultiHeadAttention, SessionPositionBias,
                              TargetAttention, TransformerBlock,
                              sincos_position_encoding)
-from ..ops.base import bf16_matmul, normal_init, split_rngs, zeros
+from ..ops.base import (bf16_matmul, glorot_uniform, normal_init, split_rngs,
+                        zeros)
 from ..ops.core import MLP, Dense, flatten_concat
 from ..ops.embedding import FusedEmbedding, masked_mean_pool, masked_sum_pool
 from ..ops.recurrent import AUGRU, GRU, BiLSTM
@@ -495,3 +496,104 @@ def DMIN(fs: FeatureSet,
         return logit[:, 0], {"aux_loss": aux_weight * aux, "emb_l2": l2}
 
     return stateless("DMIN", fs, init_fn, fwd)
+
+
+def MIND(fs: FeatureSet,
+         candidate: Tuple[str, ...] = ("item", "cate"),
+         behavior: Tuple[str, ...] = ("hist_item", "hist_cate"),
+         num_interests: int = 4,
+         routing_iters: int = 3,
+         label_pow: float = 2.0,
+         hidden: Tuple[int, ...] = (200, 80),
+         activation: str = "prelu") -> Model:
+    """Multi-Interest Network with Dynamic routing (Li et al., CIKM 2019 —
+    "[MINDN] Multi-Interest Network with Dynamic Routing for Recommendation
+    at Tmall" pdf on the reference's Next-Read shelf).
+
+    Behavior→Interest (B2I) capsule routing: behaviors map through a SHARED
+    bilinear matrix S; ``routing_iters`` fixed iterations distribute each
+    behavior over ``num_interests`` capsules (softmax over capsules), capsule
+    states squash-normalized, routing logits updated by agreement ⟨v_k, m_l⟩.
+    Routing-logit updates are ``stop_gradient``-ed (routing is an inference
+    procedure, not a learned path — standard practice, keeps the fixed-point
+    iteration stable). Label-aware attention (softmax of ⟨v_k, cand⟩^p over
+    capsules) reads the interests for scoring.
+
+    TPU notes: the whole routing is ``routing_iters`` (2–3) unrolled rounds
+    of two (B, K, L)×(B, L, D) einsums — static shapes, MXU-bound; masked
+    behaviors are −1e9 in the routing softmax.
+    """
+    fe = FusedEmbedding(fs, with_linear=False)
+    d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
+    K = num_interests
+    in_dim = kd * 2 + n_other * d + len(fs.dense)
+    mlp = MLP(in_dim, hidden, activation=activation, norm="layer", out_dim=1)
+
+    def squash(s):
+        n2 = jnp.sum(jnp.square(s), axis=-1, keepdims=True)
+        return (n2 / (1.0 + n2)) * s / jnp.sqrt(n2 + 1e-9)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "bilinear", "b0", "mlp"])
+        return {"embedding": fe.init(rngs["emb"]),
+                "bilinear": glorot_uniform(rngs["bilinear"], (kd, kd)),
+                # fixed (non-learned-free) random routing init breaks capsule
+                # symmetry (paper §4.2); stored as a param so it checkpoints,
+                # but stop_gradient keeps it frozen
+                "b0": normal_init(rngs["b0"], (K, L), 1.0),
+                "mlp": mlp.init(rngs["mlp"])}
+
+    def fwd(params, batch, train):
+        cand, beh, mask, l2, emb = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
+        b = beh.shape[0]
+        m = bf16_matmul(beh, params["bilinear"])          # (B, L, kD)
+        m_detached = jax.lax.stop_gradient(m)
+        logits_b = jnp.broadcast_to(
+            jax.lax.stop_gradient(params["b0"]), (b, K, L))
+        key_mask = jnp.where(mask, 0.0, -1e9)[:, None, :]
+        v = None
+        for it in range(routing_iters):
+            # each behavior distributes its vote over capsules
+            w = jax.nn.softmax(logits_b + key_mask, axis=1)   # (B, K, L)
+            w = w * mask[:, None, :]
+            m_it = m if it == routing_iters - 1 else m_detached
+            s = jnp.einsum("bkl,bld->bkd", w, m_it)
+            v = squash(s)                                      # (B, K, kD)
+            if it < routing_iters - 1:
+                agree = jnp.einsum("bkd,bld->bkl", v, m_detached)
+                logits_b = logits_b + jax.lax.stop_gradient(agree)
+        # label-aware attention read
+        att = jnp.einsum("bkd,bd->bk", v, cand)
+        att = jax.nn.softmax(label_pow * att, axis=-1)
+        read = jnp.einsum("bk,bkd->bd", att, v)
+        parts = [cand, read]
+        other = _other_sparse(fs, emb, candidate)
+        if other is not None:
+            parts.append(other)
+        if batch.get("dense") is not None and batch["dense"].shape[-1] > 0:
+            parts.append(batch["dense"])
+        logit, _ = mlp(params["mlp"], jnp.concatenate(parts, axis=-1))
+        return logit[:, 0], {"emb_l2": l2}
+
+    model = stateless("MIND", fs, init_fn, fwd)
+
+    def interests(params, batch):
+        """User-interest capsules (B, K, kD) — the recall-side output the
+        paper serves from (vector index per interest)."""
+        cand, beh, mask, _, _ = behavior_inputs(
+            fe, params["embedding"], batch, candidate, behavior)
+        b = beh.shape[0]
+        m = bf16_matmul(beh, params["bilinear"])
+        logits_b = jnp.broadcast_to(params["b0"], (b, K, L))
+        key_mask = jnp.where(mask, 0.0, -1e9)[:, None, :]
+        v = None
+        for it in range(routing_iters):
+            w = jax.nn.softmax(logits_b + key_mask, axis=1) * mask[:, None, :]
+            v = squash(jnp.einsum("bkl,bld->bkd", w, m))
+            if it < routing_iters - 1:
+                logits_b = logits_b + jnp.einsum("bkd,bld->bkl", v, m)
+        return v
+
+    object.__setattr__(model, "interests", interests)
+    return model

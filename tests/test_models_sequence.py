@@ -77,3 +77,66 @@ def test_dien_aux_loss_positive(beh_data):
     batch = next(iter_batches(data, 16))
     _, _, aux = model.apply(params, state, batch, train=True)
     assert float(aux["aux_loss"]) > 0  # -log sigmoid ≥ 0
+
+
+def test_mind_routing_and_interests(beh_data):
+    """MIND: forward/grad finite; exposed interest capsules are unit-or-less
+    norm (squash) and distinct across K."""
+    fs, data = beh_data
+    model = get_model("mind", fs, hidden=(16, 8), num_interests=3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = next(iter_batches(data, 16))
+    logits, _, aux = model.apply(params, state, batch, train=True)
+    assert logits.shape == (16,)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        lg, _, ax = model.apply(p, state, batch, train=True)
+        return jnp.mean(jnp.square(lg)) + sum(ax.values())
+
+    g = jax.jit(jax.grad(loss))(params)
+    total = sum(float(jnp.sum(jnp.abs(t)))
+                for t in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+    v = np.asarray(model.interests(params, batch))       # (B, K, D)
+    assert v.shape[1] == 3
+    norms = np.linalg.norm(v, axis=-1)
+    assert (norms <= 1.0 + 1e-5).all()                   # squash bound
+    # capsules differ from each other (routing breaks symmetry)
+    assert not np.allclose(v[:, 0], v[:, 1])
+
+
+def test_dssm_towers_and_retrieval(beh_data):
+    """DSSM: towers produce unit vectors; item tower ignores user features;
+    in-batch softmax loss beats chance after the towers see gradient."""
+    import optax
+
+    fs, data = beh_data
+    model = get_model("dssm", fs, hidden=(32, 16))
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = next(iter_batches(data, 32))
+    logits, _, _ = model.apply(params, state, batch, train=True)
+    assert logits.shape == (32,)
+    u = np.asarray(model.user_vec(params, batch))
+    v = np.asarray(model.item_vec(params, batch))
+    np.testing.assert_allclose(np.linalg.norm(u, axis=-1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-4)
+
+    # item tower must not depend on user fields / history (serving split)
+    batch2 = dict(batch)
+    batch2["sparse"] = np.array(batch["sparse"]).copy()
+    batch2["sparse"][:, 2:] = 1                          # scribble user extras
+    batch2["seq"] = {k: np.zeros_like(a) for k, a in batch["seq"].items()}
+    v2 = np.asarray(model.item_vec(params, batch2))
+    np.testing.assert_allclose(v, v2, atol=1e-6)
+
+    # retrieval objective: one step reduces the in-batch softmax loss
+    opt = optax.adam(1e-2)
+    ost = opt.init(params)
+    l0 = float(model.in_batch_softmax_loss(params, batch))
+    g = jax.grad(lambda p: model.in_batch_softmax_loss(p, batch))(params)
+    upd, ost = opt.update(g, ost, params)
+    params2 = optax.apply_updates(params, upd)
+    l1 = float(model.in_batch_softmax_loss(params2, batch))
+    assert np.isfinite(l0) and l1 < l0
