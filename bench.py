@@ -26,7 +26,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-BATCH = 8192
+# Measured batch→throughput on v5e (DeepFM Criteo shape, this file):
+#   8192 → 496k · 16384 → 956k · 32768 → 1239k · 65536 → 1232k ex/s/chip.
+# The scatter-dominated step grows sublinearly with batch until ~32k
+# (per-id scatter cost falls as the id count rises — see PERF.md), so the
+# headline config runs the throughput-optimal 32768.
+BATCH = 32768
 N_SPARSE = 26
 N_DENSE = 13
 VOCAB = 100_000

@@ -139,3 +139,28 @@ def calibration(labels, probs, n_bins: int = 20):
     nz = cnt > 0
     ece = float(np.sum(np.abs(psum[nz] - ysum[nz])) / max(len(labels), 1))
     return {"ratio": float(ratio), "ece": ece}
+
+
+def retrieval_metrics(user_vecs, item_vecs, true_items, ks=(1, 10, 50)):
+    """Recall-side eval for the two-tower/multi-interest families (DSSM
+    `user_vec`/`item_vec`, MIND `interests`): hit-rate@K over a corpus.
+
+    ``user_vecs`` (Q, D) or multi-interest (Q, I, D); ``item_vecs`` (N, D)
+    the full candidate corpus; ``true_items`` (Q,) int corpus indices. Scores
+    are inner products (max over the interest axis when present — MIND's
+    serving rule: each interest queries the ANN index, best hit wins).
+    Returns {"hit@K": ...} plus mean reciprocal rank.
+    """
+    import numpy as np
+
+    u = np.asarray(user_vecs, np.float32)
+    v = np.asarray(item_vecs, np.float32)
+    t = np.asarray(true_items).reshape(-1)
+    scores = u @ v.T if u.ndim == 2 else np.max(
+        np.einsum("qid,nd->qin", u, v), axis=1)          # (Q, N)
+    # rank of the true item per query (1-based; ties counted against us)
+    true_s = scores[np.arange(len(t)), t]
+    rank = 1 + np.sum(scores > true_s[:, None], axis=1)
+    out = {f"hit@{k}": float(np.mean(rank <= k)) for k in ks}
+    out["mrr"] = float(np.mean(1.0 / rank))
+    return out

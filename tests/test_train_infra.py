@@ -264,3 +264,26 @@ def test_ftrl_sparsifies_and_learns():
     assert float(l) < l0 * 0.8                       # actually learning
     assert (np.abs(w[:4]) > 0.1).all()               # signal kept
     assert (w[4:] == 0.0).sum() >= 10, w             # junk at EXACT zero
+
+
+def test_retrieval_metrics():
+    """hit@K / MRR sanity: perfect vectors rank their own item first;
+    multi-interest max-over-capsules wins when ANY capsule matches."""
+    from ml_function_tpu.train.metrics import retrieval_metrics
+
+    rng = np.random.default_rng(0)
+    items = rng.normal(size=(50, 8)).astype(np.float32)
+    items /= np.linalg.norm(items, axis=-1, keepdims=True)  # unit corpus
+    users = items[:10] + 0.01 * rng.normal(size=(10, 8)).astype(np.float32)
+    m = retrieval_metrics(users, items, np.arange(10))
+    assert m["hit@1"] == 1.0 and m["mrr"] == 1.0
+
+    # shuffled users: mostly wrong at k=1, all found at k=50
+    m2 = retrieval_metrics(users, items, (np.arange(10) + 5) % 10)
+    assert m2["hit@50"] == 1.0 and m2["hit@1"] < 0.5
+
+    # multi-interest: second capsule matches item 3
+    multi = np.stack([0.1 * rng.normal(size=(8,)).astype(np.float32),
+                      items[3]])[None]                    # (1, 2, 8)
+    m3 = retrieval_metrics(multi, items, np.array([3]))
+    assert m3["hit@1"] == 1.0
