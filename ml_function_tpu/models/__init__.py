@@ -2,16 +2,21 @@
 (``kon/model/ctr_model/model/models.py:30-426``)."""
 
 from .base import Model
-from .interaction import (AFM, DCN, DLRM, FFM, NFM, PNN, AutoInt, DeepCross,
-                          DeepFM, FiBiNET, FM, FwFM, WideDeep, xDeepFM)
-from .interaction_ext import (CCPM, FATDeepFFM, FGCNN, FiGNN, FLEN, MLR, ONN)
+from .coldstart import MetaEmbedding, make_meta_train_step
+from .interaction import (AFM, DCN, DLRM, FFM, FNN, LR, NFM, PNN, AutoInt,
+                          DeepCross, DeepFM, FiBiNET, FM, FwFM, WideDeep,
+                          fnn_from_fm, xDeepFM)
+from .interaction_ext import (CCPM, FATDeepFFM, FGCNN, FiGNN, FLEN, MLR, OENN,
+                              ONN)
 from .longseq import DTS, HPMN, MIMN, SIM
 from .match import DSSM
 from .multitask import ESMM, MMoE, PLE
 from .sequence import BST, DIEN, DIN, DMIN, DSIN, DSTN, MIND, SeqFM
 
 MODEL_REGISTRY = {
+    "lr": LR,
     "fm": FM,
+    "fnn": FNN,
     "ffm": FFM,
     "fwfm": FwFM,
     "pnn": PNN,
@@ -29,6 +34,7 @@ MODEL_REGISTRY = {
     "fgcnn": FGCNN,
     "flen": FLEN,
     "onn": ONN,
+    "oenn": OENN,
     "fat_deepffm": FATDeepFFM,
     "fignn": FiGNN,
     "mlr": MLR,
@@ -59,9 +65,11 @@ def get_model(name: str, feature_set, **hp) -> Model:
     return ctor(feature_set, **hp)
 
 
-__all__ = ["Model", "MODEL_REGISTRY", "get_model", "FM", "FFM", "FwFM", "PNN",
+__all__ = ["Model", "MODEL_REGISTRY", "get_model", "LR", "FM", "FNN",
+           "fnn_from_fm", "FFM", "FwFM", "PNN",
            "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
            "AutoInt", "FiBiNET", "DLRM", "CCPM", "FGCNN", "FLEN", "ONN",
-           "FATDeepFFM", "FiGNN", "MLR", "DIN", "DIEN", "DMIN", "MIND", "BST",
-           "DSIN", "SeqFM", "DSTN", "DTS", "MIMN", "SIM", "HPMN", "DSSM",
-           "ESMM", "MMoE", "PLE"]
+           "OENN", "FATDeepFFM", "FiGNN", "MLR", "DIN", "DIEN", "DMIN",
+           "MIND", "BST", "DSIN", "SeqFM", "DSTN", "DTS", "MIMN", "SIM",
+           "HPMN", "DSSM", "ESMM", "MMoE", "PLE", "MetaEmbedding",
+           "make_meta_train_step"]

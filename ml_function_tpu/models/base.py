@@ -55,6 +55,13 @@ def embed_inputs(fe: FusedEmbedding, emb_params: Params, batch,
     out: Dict[str, Any] = {"dense": batch.get("dense")}
     ids = batch["sparse"]
     emb, lin = fe.sparse_all(emb_params, ids)  # ONE gather for cross + linear
+    # Cold-start hook (models/coldstart.py): a {field_name: (B, D)} entry
+    # replaces that field's gathered rows — e.g. a generated meta-embedding
+    # for unseen ad ids. Gradients flow to the override, not the table rows.
+    override = batch.get("emb_override")
+    if override:
+        for name, vec in override.items():
+            emb = emb.at[:, fe.feature_set.sparse_index(name), :].set(vec)
     out["emb"] = emb
     if with_linear:
         out["linear"] = lin

@@ -501,3 +501,71 @@ def AutoInt(fs: FeatureSet, n_layers: int = 2, num_heads: int = 2,
         return logit[:, 0], {"emb_l2": inp["l2"]}
 
     return stateless("AutoInt", fs, init_fn, fwd)
+
+
+def LR(fs: FeatureSet) -> Model:
+    """Logistic regression (reference shelf: "[LR] Predicting Clicks -
+    Estimating the Click-Through Rate for New Ads", paper/interactive/).
+
+    Pure first-order model: one (V, 1) weight table over the fused vocab +
+    dense-feature linear + bias. The baseline every CTR paper compares
+    against; also the serving-cheapest model in the registry (a single 1-wide
+    gather — v5e's fastest gather width, PERF.md)."""
+    fe = FusedEmbedding(fs)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "dense_linear"])
+        r1, r2 = jax.random.split(rngs["emb"])
+        p = {"linear": normal_init(r2, (fs.total_vocab, 1), stddev=0.05),
+             "bias": zeros(())}
+        p.update(_maybe_dense_linear(fs, rngs))
+        return p
+
+    def fwd(params, batch, train):
+        lin = fe.sparse_linear(params, batch["sparse"])       # (B, F)
+        inp = {"linear": lin, "dense": batch.get("dense")}
+        logit = _first_order(params, inp) + params["bias"]
+        return logit, {}
+
+    return stateless("LR", fs, init_fn, fwd)
+
+
+def FNN(fs: FeatureSet, hidden: Tuple[int, ...] = (200, 200, 200)) -> Model:
+    """FNN — Factorization-machine-supported Neural Network (reference shelf:
+    "[FNN] Deep Learning over Multi-field Categorical Data", UCL 2016,
+    paper/interactive/).
+
+    Each field's dense-layer input is the paper's z_i = (w_i, v_i): the FM
+    first-order weight concatenated with the factor vector, then an MLP to a
+    single logit. The defining trick is the FM warm-start: pretrain ``FM`` on
+    the same ``FeatureSet`` and copy its tables in with ``fnn_from_fm``
+    (the JAX counterpart of the paper's layer-wise pretraining; same
+    ``pre_weight`` mechanism the reference uses for graph embeddings,
+    interactive_layer.py:216)."""
+    fe = FusedEmbedding(fs)
+    f, d, nd = _dims(fs)
+    mlp = MLP(f * (d + 1) + nd, hidden, activation="relu", out_dim=1)
+
+    def init_fn(rng):
+        rngs = split_rngs(rng, ["emb", "mlp"])
+        return {"embedding": fe.init(rngs["emb"]), "mlp": mlp.init(rngs["mlp"]),
+                "bias": zeros(())}
+
+    def fwd(params, batch, train):
+        inp = embed_inputs(fe, params["embedding"], batch)
+        z = jnp.concatenate([inp["emb"].reshape(inp["emb"].shape[0], -1),
+                             inp["linear"]]
+                            + ([inp["dense"]] if nd else []), axis=-1)
+        deep, _ = mlp(params["mlp"], z)
+        return deep[:, 0] + params["bias"], {"emb_l2": inp["l2"]}
+
+    return stateless("FNN", fs, init_fn, fwd)
+
+
+def fnn_from_fm(fnn_params, fm_params):
+    """Warm-start FNN from a trained FM: copies the shared (V, D) + (V, 1)
+    tables (the FNN paper's FM-pretraining step). Returns new params."""
+    out = dict(fnn_params)
+    out["embedding"] = jax.tree_util.tree_map(lambda x: x,
+                                              fm_params["embedding"])
+    return out

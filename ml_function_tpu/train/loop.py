@@ -240,13 +240,21 @@ def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
         optimizer: Optional[optax.GradientTransformation] = None,
         eval_data: Optional[Dict[str, Any]] = None, seed: int = 0,
         log_every: int = 0, verbose: bool = False,
-        steps_per_call: int = 1) -> Tuple[TrainState, FitResult]:
+        steps_per_call: int = 1,
+        init_params=None) -> Tuple[TrainState, FitResult]:
     """Single-device fit (the multi-chip path lives in ``parallel/``).
 
     ``steps_per_call > 1`` chains that many steps per dispatch
-    (``make_chained_train_step``) — use on high-dispatch-latency links."""
+    (``make_chained_train_step``) — use on high-dispatch-latency links.
+    ``init_params=(params, model_state)`` warm-starts from existing params
+    (e.g. ``fnn_from_fm``, checkpoint fine-tune); optimizer state is
+    freshly initialized on them."""
     opt = optimizer or optax.adam(learning_rate)
     ts = create_train_state(model, jax.random.PRNGKey(seed), opt)
+    if init_params is not None:
+        p0, s0 = init_params
+        ts = TrainState(params=p0, opt_state=opt.init(p0), model_state=s0,
+                        step=ts.step, rng=ts.rng)
     if steps_per_call > 1:
         return _fit_chained(model, data, opt, ts, epochs=epochs,
                             batch_size=batch_size, eval_data=eval_data,

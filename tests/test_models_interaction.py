@@ -10,12 +10,12 @@ from ml_function_tpu.features.synthetic import make_criteo_like
 from ml_function_tpu.models import MODEL_REGISTRY, get_model
 from ml_function_tpu.train.loop import fit, iter_batches, train_test_split
 
-INTERACTION_MODELS = ["fm", "ffm", "fwfm", "pnn", "deepcross", "wide_deep",
-                      "deepfm", "dcn", "nfm", "xdeepfm", "afm", "autoint",
-                      "fibinet", "dlrm",
+INTERACTION_MODELS = ["lr", "fm", "fnn", "ffm", "fwfm", "pnn", "deepcross",
+                      "wide_deep", "deepfm", "dcn", "nfm", "xdeepfm", "afm",
+                      "autoint", "fibinet", "dlrm",
                       # Next-Read shelf (models/interaction_ext.py)
-                      "ccpm", "fgcnn", "flen", "onn", "fat_deepffm", "fignn",
-                      "mlr"]
+                      "ccpm", "fgcnn", "flen", "onn", "oenn", "fat_deepffm",
+                      "fignn", "mlr"]
 
 
 @pytest.fixture(scope="module")
@@ -235,3 +235,39 @@ def test_fm_learns():
     _, res = fit(model, train, epochs=6, batch_size=256, learning_rate=5e-3,
                  eval_data=test)
     assert res.eval_metrics["auc"] > 0.66, res.eval_metrics
+
+
+def test_fnn_warm_start_from_fm(small_data):
+    """fnn_from_fm copies the trained FM tables into FNN (the paper's
+    pretraining step)."""
+    from ml_function_tpu.models import fnn_from_fm
+    fs, data = small_data
+    fm = get_model("fm", fs)
+    fnn = get_model("fnn", fs)
+    fm_params, _ = fm.init(jax.random.PRNGKey(1))
+    fnn_params, state = fnn.init(jax.random.PRNGKey(2))
+    warm = fnn_from_fm(fnn_params, fm_params)
+    assert np.allclose(np.asarray(warm["embedding"]["table"]),
+                       np.asarray(fm_params["embedding"]["table"]))
+    batch = next(iter_batches(data, 32))
+    logits, _, _ = fnn.apply(warm, state, batch, train=False)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_oenn_order2_matches_pair_loop(small_data):
+    """OENN's closed-form order-2 pooling == the explicit Σ_{i<j} e_i∘e_j."""
+    fs, data = small_data
+    model = get_model("oenn", fs, max_order=2)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = next(iter_batches(data, 8))
+    import itertools
+    from ml_function_tpu.ops.embedding import gather_rows
+    gids = np.asarray(batch["sparse"]) + np.asarray(
+        fs.sparse_offsets())[None, :]
+    e = np.asarray(gather_rows(params["order2"], jnp.asarray(gids)))
+    f = e.shape[1]
+    want = sum(e[:, i] * e[:, j] for i, j in itertools.combinations(range(f), 2))
+    s1 = e.sum(axis=1)
+    s2 = (e ** 2).sum(axis=1)
+    got = 0.5 * (s1 ** 2 - s2)
+    assert np.allclose(got, want, atol=1e-5)
