@@ -120,7 +120,8 @@ class FusedEmbedding:
         if pctx.model_axis_size() > 1:
             from ..parallel.embedding import ShardedLookup
             return ShardedLookup(pctx.active_mesh(), self.feature_set,
-                                 mode=pctx.exchange_mode())
+                                 mode=pctx.exchange_mode(),
+                                 compress=pctx.exchange_compress())
         return None
 
     def _rows(self, table: jax.Array, global_ids: jax.Array) -> jax.Array:

@@ -37,16 +37,25 @@ def exchange_mode() -> str:
     return getattr(_state, "mode", "psum")
 
 
+def exchange_compress() -> Optional[str]:
+    return getattr(_state, "compress", None)
+
+
 @contextlib.contextmanager
-def sharded_embeddings(mesh: Mesh, mode: str = "psum"):
+def sharded_embeddings(mesh: Mesh, mode: str = "psum",
+                       compress: Optional[str] = None):
     """``mode``: 'psum' (mask+psum) or 'a2a' (id all-to-all exchange) —
-    see parallel/embedding.py for the trade-off."""
+    see parallel/embedding.py for the trade-off. ``compress='bf16'`` ships
+    the exchanged row payloads in bfloat16 (half the ICI bytes)."""
     prev = getattr(_state, "mesh", None)
     prev_mode = getattr(_state, "mode", "psum")
+    prev_compress = getattr(_state, "compress", None)
     _state.mesh = mesh
     _state.mode = mode
+    _state.compress = compress
     try:
         yield
     finally:
         _state.mesh = prev
         _state.mode = prev_mode
+        _state.compress = prev_compress

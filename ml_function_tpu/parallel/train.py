@@ -109,7 +109,8 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
 def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
                             donate: bool = True,
-                            exchange: str = "psum") -> Callable:
+                            exchange: str = "psum",
+                            compress=None) -> Callable:
     def train_step(ts: TrainState, batch):
         rng, step_rng = jax.random.split(ts.rng)
         grad_fn = jax.value_and_grad(
@@ -126,14 +127,15 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
     jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     def run(ts, batch):
-        with sharded_embeddings(mesh, mode=exchange):
+        with sharded_embeddings(mesh, mode=exchange, compress=compress):
             return jitted(ts, batch)
 
     return run
 
 
 def make_sharded_eval_step(model: Model, mesh: Mesh,
-                           exchange: str = "psum") -> Callable:
+                           exchange: str = "psum",
+                           compress=None) -> Callable:
     def eval_step(params, model_state, metrics, batch):
         logits, _, _ = model.apply(params, model_state, batch, train=False)
         return update_metrics(metrics, logits, batch["label"],
@@ -142,7 +144,7 @@ def make_sharded_eval_step(model: Model, mesh: Mesh,
     jitted = jax.jit(eval_step)
 
     def run(params, model_state, metrics, batch):
-        with sharded_embeddings(mesh, mode=exchange):
+        with sharded_embeddings(mesh, mode=exchange, compress=compress):
             return jitted(params, model_state, metrics, batch)
 
     return run

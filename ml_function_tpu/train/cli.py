@@ -101,10 +101,13 @@ def run(cfg: Config) -> dict:
             start_step = int(jax.device_get(ts.step))
             print(f"resumed from {ck} at step {start_step}", file=sys.stderr)
 
+    compress = cfg.mesh.compress or None
     train_step = make_sharded_train_step(model, opt, mesh,
-                                         exchange=cfg.mesh.exchange)
+                                         exchange=cfg.mesh.exchange,
+                                         compress=compress)
     eval_step = make_sharded_eval_step(model, mesh,
-                                       exchange=cfg.mesh.exchange)
+                                       exchange=cfg.mesh.exchange,
+                                       compress=compress)
 
     if cfg.train.profile_dir:
         jax.profiler.start_trace(cfg.train.profile_dir)

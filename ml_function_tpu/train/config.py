@@ -53,6 +53,7 @@ class MeshConfig:
     data: int = 0                      # 0 → all devices
     model: int = 1
     exchange: str = "psum"             # embedding lookup: 'psum' | 'a2a'
+    compress: str = ""                 # '' | 'bf16' row-payload ICI compression
 
 
 @dataclass

@@ -326,3 +326,66 @@ def test_sharded_sequence_model_matches_single_device():
     np.testing.assert_allclose(np.asarray(v),
                                np.asarray(ts1.params["embedding"]["table"]),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# bf16 row-payload compression (compress='bf16'; parallel/embedding.py)
+# ---------------------------------------------------------------------------
+
+
+def test_psum_bf16_compress_is_cast_exact(mesh42):
+    """psum + bf16 compression: every row has ONE non-zero contributor, so
+    the result equals bf16(row) exactly — no accumulation error."""
+    fs, data = make_criteo_like(n_rows=32, n_dense=0, n_sparse=4,
+                                vocab_size=11, embed_dim=4)
+    fe = FusedEmbedding(fs, with_linear=False)
+    params = fe.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray(data["sparse"][:16])
+
+    dense = fe.sparse(params, ids)
+    table = pad_table_for_shards(params["table"], 2)
+    sl = ShardedLookup(mesh42, fs, mode="psum", compress="bf16")
+    got = sl.sparse(table, ids)
+    assert got.dtype == params["table"].dtype
+    want = np.asarray(dense.astype(jnp.bfloat16).astype(dense.dtype))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_a2a_bf16_compress_close_and_grads_flow(mesh42):
+    fs, data = make_criteo_like(n_rows=32, n_dense=0, n_sparse=4,
+                                vocab_size=11, embed_dim=4)
+    fe = FusedEmbedding(fs, with_linear=False)
+    params = fe.init(jax.random.PRNGKey(1))
+    ids = jnp.asarray(data["sparse"][:16])
+
+    dense = np.asarray(fe.sparse(params, ids))
+    table = pad_table_for_shards(params["table"], 2)
+    sl = ShardedLookup(mesh42, fs, mode="a2a", compress="bf16")
+    got = np.asarray(sl.sparse(table, ids))
+    # bf16 has ~3 decimal digits; values are ~0.05 scale
+    np.testing.assert_allclose(got, dense, atol=4e-3)
+
+    g = jax.grad(lambda t: jnp.sum(jnp.sin(sl.sparse(t, ids))))(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_compressed_train_step_close_to_exact(mesh42):
+    """Full sharded DeepFM step with compress='bf16': loss within bf16
+    tolerance of the uncompressed step, both exchange modes."""
+    fs, data = make_criteo_like(n_rows=32, n_dense=2, n_sparse=4,
+                                vocab_size=11, embed_dim=4)
+    model = get_model("deepfm", fs, hidden=(8,))
+    opt = optax.adam(1e-3)
+    batch = next(iter_batches(data, 32))
+
+    for mode in ("psum", "a2a"):
+        losses = {}
+        for compress in (None, "bf16"):
+            sts = create_sharded_state(model, jax.random.PRNGKey(0), opt,
+                                       mesh42)
+            step = make_sharded_train_step(model, opt, mesh42, exchange=mode,
+                                           compress=compress)
+            sts, out = step(sts, shard_batch(batch, mesh42))
+            losses[compress] = float(out["loss"])
+        assert np.isclose(losses[None], losses["bf16"], atol=5e-3), (mode,
+                                                                     losses)
