@@ -80,6 +80,14 @@ class SparseEncoder:
             return self.hash_buckets
         return len(self.vocabs[column]) + 1  # + pad/OOV row
 
+    def id_counts(self, df, column: str) -> np.ndarray:
+        """Per-id occurrence counts aligned to this column's id space
+        (index 0 = pad/OOV mass) — the ``freq`` input of
+        ``parallel.planner.plan_field_order``/``expected_shard_loads``."""
+        ids = self.transform(df, [column])[:, 0]
+        return np.bincount(ids, minlength=self.vocab_size(column)
+                           ).astype(np.float64)
+
 
 @dataclass
 class DenseEncoder:

@@ -69,3 +69,17 @@ def test_shared_vocab_groups_stay_intact():
     # one shared vocab -> appears once in the order; fs still validates
     assert plan.vocab_order.count("item_id") == 1
     assert plan.feature_set.total_vocab == fs.total_vocab
+
+
+def test_encoder_id_counts_feed_planner():
+    import pandas as pd
+    from ml_function_tpu.features.encoders import SparseEncoder
+    df = pd.DataFrame({"c": ["a"] * 7 + ["b"] * 2 + ["z"] * 1})
+    enc = SparseEncoder().fit(df, ["c"])
+    counts = enc.id_counts(df, "c")
+    assert counts.shape[0] == enc.vocab_size("c")
+    assert counts.sum() == len(df)
+    fs = FeatureSet(sparse=(
+        SparseSpec("c", vocab_size=enc.vocab_size("c"), dim=4),))
+    loads = expected_shard_loads(fs, 2, freq={"c": counts})
+    assert np.isclose(loads.sum(), 1.0)
