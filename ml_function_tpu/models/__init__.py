@@ -9,7 +9,7 @@ from .interaction import (AFM, DCN, DLRM, FFM, FNN, LR, NFM, PNN, AutoInt,
 from .interaction_ext import (CCPM, FATDeepFFM, FGCNN, FiGNN, FLEN, MLR, OENN,
                               ONN)
 from .longseq import DTS, HPMN, MIMN, SIM
-from .match import DSSM
+from .match import DSSM, DeepMCP
 from .multitask import ESMM, MMoE, PLE
 from .sequence import BST, DIEN, DIN, DMIN, DSIN, DSTN, MIND, SeqFM
 
@@ -47,6 +47,7 @@ MODEL_REGISTRY = {
     "dmin": DMIN,
     "mind": MIND,
     "dssm": DSSM,
+    "deepmcp": DeepMCP,
     "dts": DTS,
     "mimn": MIMN,
     "sim": SIM,
@@ -71,5 +72,5 @@ __all__ = ["Model", "MODEL_REGISTRY", "get_model", "LR", "FM", "FNN",
            "AutoInt", "FiBiNET", "DLRM", "CCPM", "FGCNN", "FLEN", "ONN",
            "OENN", "FATDeepFFM", "FiGNN", "MLR", "DIN", "DIEN", "DMIN",
            "MIND", "BST", "DSIN", "SeqFM", "DSTN", "DTS", "MIMN", "SIM",
-           "HPMN", "DSSM", "ESMM", "MMoE", "PLE", "MetaEmbedding",
+           "HPMN", "DSSM", "DeepMCP", "ESMM", "MMoE", "PLE", "MetaEmbedding",
            "make_meta_train_step"]

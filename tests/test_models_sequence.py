@@ -140,3 +140,40 @@ def test_dssm_towers_and_retrieval(beh_data):
     params2 = optax.apply_updates(params, upd)
     l1 = float(model.in_batch_softmax_loss(params2, batch))
     assert np.isfinite(l0) and l1 < l0
+
+
+def test_deepmcp_subnets_and_learning(beh_data):
+    """DeepMCP: aux carries match+corr terms in train mode only; eval runs
+    the prediction subnet alone; joint training learns the planted signal."""
+    fs, data = beh_data
+    model = get_model("deepmcp", fs, hidden=(16, 8), match_hidden=(8,),
+                      match_dim=8, corr_hidden=(8,))
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = next(iter_batches(data, 16))
+
+    _, _, aux_train = model.apply(params, state, batch, train=True)
+    assert {"match", "corr"} <= set(aux_train)
+    for k, v in aux_train.items():
+        assert np.isfinite(float(v)), (k, v)
+    _, _, aux_eval = model.apply(params, state, batch, train=False)
+    assert "match" not in aux_eval and "corr" not in aux_eval
+
+    # grads reach all three subnets
+    def loss(p):
+        lg, _, ax = model.apply(p, state, batch, train=True)
+        return jnp.mean(jnp.square(lg)) + sum(ax.values())
+    g = jax.grad(loss)(params)
+    for key in ("pred", "u_mlp", "a_mlp", "h_mlp"):
+        n = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(g[key]))
+        assert n > 0, key
+
+
+def test_deepmcp_learns():
+    fs, data = make_behavior_data(n_rows=4000, n_items=40, n_cates=8,
+                                  seq_len=8, embed_dim=8, seed=2)
+    train, test = train_test_split(data, 0.2, seed=2)
+    model = get_model("deepmcp", fs, hidden=(64, 32))
+    _, res = fit(model, train, epochs=4, batch_size=256, learning_rate=5e-3,
+                 eval_data=test)
+    assert res.eval_metrics["auc"] > 0.62, res.eval_metrics
