@@ -25,11 +25,19 @@ def __getattr__(name):
     if name in ("Scorer", "export_model", "load_scorer"):
         from . import serving
         return getattr(serving, name)
+    if name in ("MetaEmbedding", "make_meta_train_step", "fnn_from_fm"):
+        from . import models
+        return getattr(models, name)
+    if name in ("plan_field_order", "expected_shard_loads"):
+        from .parallel import planner
+        return getattr(planner, name)
     raise AttributeError(name)
 
 
 __all__ = [
     "DenseSpec", "SparseSpec", "SeqSpec", "FeatureSet", "criteo_feature_set",
     "get_model", "MODEL_REGISTRY", "fit", "train_test_split", "iter_batches",
-    "Scorer", "export_model", "load_scorer",
+    "Scorer", "export_model", "load_scorer", "MetaEmbedding",
+    "make_meta_train_step", "fnn_from_fm", "plan_field_order",
+    "expected_shard_loads",
 ]
