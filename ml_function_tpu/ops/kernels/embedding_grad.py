@@ -108,8 +108,8 @@ def _merge_scatter(starts: jax.Array, u_ids: jax.Array, u_ct: jax.Array,
             num_scalar_prefetch=1,
             grid=(c,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # ids (N,) in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),   # ctᵀ (D, N) in HBM
+                pl.BlockSpec(memory_space=pl.ANY),      # ids (N,) in HBM
+                pl.BlockSpec(memory_space=pl.ANY),      # ctᵀ (D, N) in HBM
             ],
             out_specs=pl.BlockSpec((chunk_rows, d), lambda c, s: (c, 0)),
             scratch_shapes=[
