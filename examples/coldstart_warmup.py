@@ -39,6 +39,7 @@ def main():
     from ml_function_tpu.features.synthetic import make_criteo_like
     from ml_function_tpu.models import (MetaEmbedding, get_model,
                                         make_meta_train_step)
+    from ml_function_tpu.models.coldstart import make_meta_batch_pairs
     from ml_function_tpu.train.loop import (iter_batches, fit,
                                             train_test_split)
 
@@ -61,27 +62,35 @@ def main():
     os_ = opt.init(gp)
     step = make_meta_train_step(meta, model, opt, cold_lr=args.cold_lr,
                                 alpha=args.alpha)
-    batches = list(iter_batches(train, args.batch_size))
-    n, first, last = 0, None, None
+    # meta_loss's contract: batch_a/batch_b pair rows of the SAME ads —
+    # make_meta_batch_pairs groups by the target ad id per position
+    n, first, last, epoch = 0, None, None, 0
     while n < args.meta_steps:
-        for i in range(0, len(batches) - 1, 2):
-            gp, os_, loss = step(gp, os_, ts.params, ts.model_state,
-                                 batches[i], batches[i + 1])
+        for ba, bb in make_meta_batch_pairs(train, fs, target,
+                                            args.batch_size,
+                                            seed=epoch):
+            gp, os_, loss = step(gp, os_, ts.params, ts.model_state, ba, bb)
             first = first if first is not None else float(loss)
             last = float(loss)
             n += 1
             if n >= args.meta_steps:
                 break
+        epoch += 1
     print(f"meta loss {first:.4f} -> {last:.4f} over {n} steps")
 
     # 3) cold-phase eval: zero the target field's rows (new ads) and score
-    # the test set with zero-init vs generated init.
+    # the test set with zero-init vs generated init. BOTH column groups are
+    # reset — emb_override replaces only the cross embedding, so leaving the
+    # trained (V, 1) first-order weights would leak memorized per-id CTR
+    # into both arms.
     off = fs.sparse_offsets()[fs.sparse_index(target)]
     spec = fs.sparse[fs.sparse_index(target)]
-    table = ts.params["embedding"]["table"]
-    zeroed = table.at[off:off + spec.vocab_size].set(0.0)
+    sl = slice(off, off + spec.vocab_size)
+    zeroed_t = ts.params["embedding"]["table"].at[sl].set(0.0)
+    zeroed_l = ts.params["embedding"]["linear"].at[sl].set(0.0)
     cold_params = dict(ts.params)
-    cold_params["embedding"] = dict(ts.params["embedding"], table=zeroed)
+    cold_params["embedding"] = dict(ts.params["embedding"],
+                                    table=zeroed_t, linear=zeroed_l)
 
     def eval_logloss(params, override):
         losses, weights = [], []

@@ -93,6 +93,16 @@ class FeatureSet:
     dense: Tuple[DenseSpec, ...] = ()
     sparse: Tuple[SparseSpec, ...] = ()
     seq: Tuple[SeqSpec, ...] = ()
+    # Explicit fused-table row layout: ((vocab_name, row_offset), ...) set by
+    # the shard planner (parallel/planner.py). ONLY the table layout changes —
+    # batch column order is tied to the spec tuples, which a plan never
+    # permutes, so data encoded from an unplanned FeatureSet stays valid (the
+    # planner footgun of reordering specs is structurally impossible).
+    # Offsets may leave gaps (zone padding to shard-block boundaries).
+    vocab_layout: Optional[Tuple[Tuple[str, int], ...]] = None
+    # Pad the fused table to at least this many rows (planner: n_shards * R
+    # so the last zone fills its block and blocks == zones exactly).
+    min_table_rows: Optional[int] = None
 
     def __post_init__(self):
         dims = {s.dim for s in self.sparse} | {s.dim for s in self.seq}
@@ -118,6 +128,21 @@ class FeatureSet:
             if prev != s.vocab_size:
                 raise ValueError(
                     f"vocab {s.vocab!r} declared with sizes {prev} and {s.vocab_size}")
+        if self.vocab_layout is not None:
+            names = [n for n, _ in self.vocab_layout]
+            if sorted(names) != sorted(sizes):
+                raise ValueError(
+                    f"vocab_layout names {sorted(names)} != declared vocabs "
+                    f"{sorted(sizes)}")
+            spans = sorted((off, off + sizes[n], n)
+                           for n, off in self.vocab_layout)
+            prev_hi, prev_n = 0, None
+            for lo, hi, n in spans:
+                if lo < prev_hi:
+                    raise ValueError(
+                        f"vocab_layout rows overlap: {prev_n!r} ends at "
+                        f"{prev_hi}, {n!r} starts at {lo}")
+                prev_hi, prev_n = hi, n
 
     # ---- derived layout -------------------------------------------------
 
@@ -129,25 +154,56 @@ class FeatureSet:
 
     @property
     def vocabs(self) -> Tuple[Tuple[str, int], ...]:
-        """Ordered unique (vocab_name, vocab_size) pairs."""
+        """Unique (vocab_name, vocab_size) pairs in table-row order
+        (explicit ``vocab_layout`` order when set, else spec order)."""
         seen = {}
         for s in list(self.sparse) + list(self.seq):
             if s.vocab not in seen:
                 seen[s.vocab] = s.vocab_size
+        if self.vocab_layout is not None:
+            return tuple((n, seen[n])
+                         for n, _ in sorted(self.vocab_layout,
+                                            key=lambda t: t[1]))
         return tuple(seen.items())
 
     @property
     def total_vocab(self) -> int:
-        return int(sum(v for _, v in self.vocabs))
+        """Fused-table rows, including any layout padding gaps."""
+        if self.vocab_layout is not None:
+            sizes = dict(self.vocabs)
+            t = int(max(off + sizes[n] for n, off in self.vocab_layout))
+        else:
+            t = int(sum(v for _, v in self.vocabs))
+        return max(t, self.min_table_rows or 0)
 
     @property
     def vocab_offsets(self) -> Mapping[str, int]:
         """Row offset of each vocab inside the fused embedding table."""
+        if self.vocab_layout is not None:
+            return dict(self.vocab_layout)
         out, off = {}, 0
         for name, size in self.vocabs:
             out[name] = off
             off += size
         return out
+
+    @property
+    def fingerprint(self) -> str:
+        """Stable layout identity: hash of specs + realized row layout.
+        Stamped into checkpoints so a restore into a differently-planned
+        FeatureSet fails loudly instead of silently permuting vocab rows."""
+        import hashlib
+
+        offs = self.vocab_offsets
+        desc = ";".join(
+            [f"d:{s.name}" for s in self.dense]
+            + [f"s:{s.name}:{s.vocab}:{s.vocab_size}:{s.dim}"
+               for s in self.sparse]
+            + [f"q:{s.name}:{s.vocab}:{s.vocab_size}:{s.max_len}:{s.dim}"
+               for s in self.seq]
+            + [f"o:{n}:{offs[n]}" for n, _ in self.vocabs]
+            + [f"t:{self.total_vocab}"])
+        return hashlib.sha256(desc.encode()).hexdigest()[:16]
 
     def sparse_offsets(self) -> np.ndarray:
         """(n_sparse,) int32 — offset to add to each sparse column's ids."""

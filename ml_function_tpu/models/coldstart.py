@@ -24,7 +24,13 @@ Design (paper's Meta-Embedding, adapted to the functional Model API):
 - The plumbing into any registry model is the ``emb_override`` batch entry
   honored by ``models.base.embed_inputs``: the generated (B, D) rows replace
   the target field's gathered rows, so EVERY interaction model works as the
-  base model unmodified.
+  base model unmodified. NOTE: the override covers the CROSS embedding only —
+  the (V, 1) first-order ("linear") weights of the target ids are NOT
+  replaced; when simulating or serving genuinely new ads, also reset their
+  rows in ``params["embedding"]["linear"]`` (see examples/coldstart_warmup.py).
+- ``meta_loss``'s contract requires ``batch_a``/``batch_b`` to pair rows of
+  the SAME ads positionally (the paper's D_a/D_b split per ad) —
+  ``make_meta_batch_pairs`` builds such pairs from a dataset.
 
 TPU notes: the inner step is one extra forward/backward over the same jitted
 graph — no per-ad Python loops; everything is batched and static-shaped.
@@ -114,6 +120,46 @@ class MetaEmbedding:
         appearing in ``batch`` — write them into the table with
         ``table.at[global_ids].set(rows)`` before fine-tuning."""
         return self.generate(gen_params, emb_params, batch)
+
+
+def make_meta_batch_pairs(data, fs: FeatureSet, target: str,
+                          batch_size: int, seed: int = 0):
+    """Aligned (batch_a, batch_b) minibatch pairs for ``meta_loss``: row i of
+    batch_a and row i of batch_b are two DISJOINT examples of the SAME target
+    ad id (the paper's per-ad D_a/D_b split). Ads with fewer than two
+    examples are skipped (a single example cannot supply both phases).
+
+    Yields full static-shape pairs only (tail dropped) — meta-training is a
+    sampling loop, not an epoch sweep, so dropped rows return next pass."""
+    import numpy as np
+
+    t = fs.sparse_index(target)
+    ids = np.asarray(data["sparse"])[:, t]
+    rng = np.random.default_rng(seed)
+    pairs = []  # (row_a, row_b) with equal ad id
+    order = rng.permutation(len(ids))
+    by_ad: dict = {}
+    for i in order:
+        by_ad.setdefault(ids[i], []).append(i)
+    for rows in by_ad.values():
+        for j in range(0, len(rows) - 1, 2):
+            pairs.append((rows[j], rows[j + 1]))
+    rng.shuffle(pairs)
+
+    def take(rows):
+        sl = np.asarray(rows)
+        out = {}
+        for k, v in data.items():
+            if k == "seq":
+                out["seq"] = {n: a[sl] for n, a in v.items()}
+            else:
+                out[k] = v[sl]
+        out["weight"] = np.ones(len(sl), np.float32)
+        return out
+
+    for s in range(0, len(pairs) - batch_size + 1, batch_size):
+        chunk = pairs[s:s + batch_size]
+        yield take([a for a, _ in chunk]), take([b for _, b in chunk])
 
 
 def make_meta_train_step(meta: MetaEmbedding, model: Model, optimizer,

@@ -515,14 +515,15 @@ def LR(fs: FeatureSet) -> Model:
 
     def init_fn(rng):
         rngs = split_rngs(rng, ["emb", "dense_linear"])
-        r1, r2 = jax.random.split(rngs["emb"])
-        p = {"linear": normal_init(r2, (fs.total_vocab, 1), stddev=0.05),
+        # nested under "embedding" (like FM/FFM) so the parallel path's
+        # _is_table_path sees it: padded, row-sharded, collective-lookup'd
+        p = {"embedding": {"linear": fe.init(rngs["emb"])["linear"]},
              "bias": zeros(())}
         p.update(_maybe_dense_linear(fs, rngs))
         return p
 
     def fwd(params, batch, train):
-        lin = fe.sparse_linear(params, batch["sparse"])       # (B, F)
+        lin = fe.sparse_linear(params["embedding"], batch["sparse"])  # (B, F)
         inp = {"linear": lin, "dense": batch.get("dense")}
         logit = _first_order(params, inp) + params["bias"]
         return logit, {}

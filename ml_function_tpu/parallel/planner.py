@@ -13,12 +13,15 @@ and fields differ in lookups/row by orders of magnitude (a 10-row "gender"
 vocab serves B lookups/step; a 10M-row ad-id vocab also serves B), so
 uniform blocks can concentrate all hot vocabs on one shard.
 
-``plan_field_order`` permutes the VOCAB order of a ``FeatureSet`` (fields
-keep their names; models address fields by name, so only the fused-table
-layout changes) with a greedy least-loaded-zone assignment, and reports
-expected per-shard loads before/after under actual contiguous block
-boundaries. Build the pipeline AND the model from the returned FeatureSet —
-layout is derived from spec order, so both sides must see the same order.
+``plan_field_order`` assigns vocabs to ``n_shards`` zones with a greedy
+least-loaded heuristic and returns a ``FeatureSet`` whose ``vocab_layout``
+pins each vocab to an EXPLICIT row offset: zone z starts at row ``z * cap``
+(``cap = rows_per_shard``), underfilled zones are padded with dead rows, so
+the realized shard blocks equal the planned zones exactly. Only the table
+layout changes — the spec tuples (and therefore the batch column order and
+id encoding) are untouched, so data built from the UNPLANNED FeatureSet
+stays byte-for-byte valid; the old footgun of building the model and the
+pipeline from different spec orders cannot produce wrong numbers anymore.
 """
 
 from __future__ import annotations
@@ -44,25 +47,29 @@ def _vocab_lookups(fs: FeatureSet) -> Dict[str, float]:
 
 
 def expected_shard_loads(fs: FeatureSet, n_shards: int,
-                         freq: Optional[Mapping[str, np.ndarray]] = None
-                         ) -> np.ndarray:
+                         freq: Optional[Mapping[str, np.ndarray]] = None,
+                         cap: Optional[int] = None) -> np.ndarray:
     """Expected ids-owned per example for each of the ``n_shards`` contiguous
-    row blocks of the fused table, under the FeatureSet's CURRENT vocab
-    order.
+    row blocks of the fused table, under the FeatureSet's CURRENT layout
+    (``vocab_layout`` when set, else spec order).
 
     ``freq``: optional per-vocab id-popularity arrays (any positive scale;
     normalized internally — e.g. raw training counts from the encoders).
-    Missing vocabs are treated as uniform."""
+    Missing or all-zero vocabs are treated as uniform. ``cap`` overrides the
+    block size (used to score a planned layout against ITS zone grid)."""
     freq = freq or {}
     lookups = _vocab_lookups(fs)
-    r = rows_per_shard(fs.total_vocab, n_shards)
+    r = cap or rows_per_shard(fs.total_vocab, n_shards)
     loads = np.zeros(n_shards)
+    offs = fs.vocab_offsets
     for name, size in fs.vocabs:
-        off = fs.vocab_offsets[name]
+        off = offs[name]
         f = np.asarray(freq.get(name, np.ones(size)), dtype=np.float64)
         if f.shape[0] != size:
             raise ValueError(f"freq for vocab {name!r} has {f.shape[0]} "
                              f"entries, vocab_size is {size}")
+        if f.sum() <= 0:  # degenerate counts -> uniform
+            f = np.ones(size)
         cum = np.concatenate([[0.0], np.cumsum(f / f.sum())])
         w = lookups.get(name, 0.0)
         for s in range(n_shards):
@@ -74,8 +81,8 @@ def expected_shard_loads(fs: FeatureSet, n_shards: int,
 
 @dataclass(frozen=True)
 class ShardPlan:
-    feature_set: FeatureSet            # reordered — use for pipeline AND model
-    vocab_order: Tuple[str, ...]
+    feature_set: FeatureSet            # layout-stamped — build the MODEL from it
+    vocab_order: Tuple[str, ...]       # realized row order (zone concatenation)
     loads_before: np.ndarray           # expected ids-owned/example per shard
     loads_after: np.ndarray
 
@@ -91,17 +98,28 @@ class ShardPlan:
 
 
 def plan_field_order(fs: FeatureSet, n_shards: int,
-                     freq: Optional[Mapping[str, np.ndarray]] = None
-                     ) -> ShardPlan:
+                     freq: Optional[Mapping[str, np.ndarray]] = None,
+                     max_pad_factor: float = 2.0) -> ShardPlan:
     """Greedy balanced layout: vocabs (sorted by expected load, desc) are
     assigned to the currently least-loaded of ``n_shards`` zones, subject to
-    a row-capacity cap so zones stay block-aligned; the new vocab order is
-    the zone concatenation. Whole vocabs move — shared-vocab field groups
-    stay intact — and per-id ``freq`` still shapes the reported loads."""
-    lookups = _vocab_lookups(fs)
-    sizes = dict(fs.vocabs)
+    a soft row-capacity cap. Zones are then padded to one common block size
+    ``R = max(cap, max zone rows)`` and zone z pinned to rows ``[z·R, …)``
+    via ``vocab_layout`` (+ ``min_table_rows = n·R``), so planned zones and
+    realized shard blocks coincide EXACTLY — the cost the greedy balanced is
+    the cost the layout produces. Whole vocabs move — shared-vocab field
+    groups stay intact — and per-id ``freq`` still shapes reported loads.
+
+    ``max_pad_factor`` bounds the HBM cost of that padding: if ``n·R``
+    exceeds ``max_pad_factor × raw_rows`` (one vocab dominating the table),
+    the plan falls back to the PACKED zone concatenation (no dead rows;
+    block boundaries may cut zones) and ``loads_after`` honestly reports the
+    realized packed cost."""
+    base = fs.replace(vocab_layout=None, min_table_rows=None)
+    lookups = _vocab_lookups(base)
+    sizes = dict(base.vocabs)
     order_by_load = sorted(sizes, key=lambda v: -lookups.get(v, 0.0))
-    cap = rows_per_shard(fs.total_vocab, n_shards)
+    raw_rows = base.total_vocab
+    cap = rows_per_shard(raw_rows, n_shards)
 
     zone_load = np.zeros(n_shards)
     zone_rows = np.zeros(n_shards, dtype=np.int64)
@@ -114,16 +132,35 @@ def plan_field_order(fs: FeatureSet, n_shards: int,
         zone_load[z] += lookups.get(v, 0.0)
         zone_rows[z] += sizes[v]
 
-    new_order = [v for zone in zones for v in zone]
-    rank = {v: i for i, v in enumerate(new_order)}
-    # stable-reorder spec groups by their vocab's zone position
-    new_sparse = tuple(sorted(fs.sparse, key=lambda s: rank[s.vocab]))
-    new_seq = tuple(sorted(fs.seq, key=lambda s: rank[s.vocab]))
-    new_fs = FeatureSet(dense=fs.dense, sparse=new_sparse, seq=new_seq)
+    r_block = int(max(cap, zone_rows.max()))
+    if n_shards * r_block <= max_pad_factor * raw_rows:
+        # zone-aligned: zone z occupies exactly block z of the sharded table
+        layout = []
+        for z, zone in enumerate(zones):
+            off = z * r_block
+            for v in zone:
+                layout.append((v, off))
+                off += sizes[v]
+        new_fs = fs.replace(vocab_layout=tuple(layout),
+                            min_table_rows=n_shards * r_block)
+    else:
+        # packed: no dead rows; boundaries may cut zones (reported below)
+        layout, off = [], 0
+        for zone in zones:
+            for v in zone:
+                layout.append((v, off))
+                off += sizes[v]
+        new_fs = fs.replace(vocab_layout=tuple(layout), min_table_rows=None)
+
+    new_order = [v for v, _ in new_fs.vocabs]
+    assert new_order == [v for zone in zones for v in zone], \
+        "realized vocab order diverged from the planned zone concatenation"
 
     return ShardPlan(
         feature_set=new_fs,
         vocab_order=tuple(new_order),
-        loads_before=expected_shard_loads(fs, n_shards, freq),
-        loads_after=expected_shard_loads(new_fs, n_shards, freq),
+        loads_before=expected_shard_loads(base, n_shards, freq),
+        loads_after=expected_shard_loads(
+            new_fs, n_shards, freq,
+            cap=rows_per_shard(new_fs.total_vocab, n_shards)),
     )

@@ -55,14 +55,38 @@ def test_override_changes_forward_and_grads_flow():
     assert not np.allclose(np.asarray(base_logits), np.asarray(ov_logits))
 
 
+def test_meta_batch_pairs_align_target_ids():
+    """batch_a/batch_b must pair rows of the SAME ads positionally — the
+    meta_loss contract (ADVICE r2)."""
+    from ml_function_tpu.models.coldstart import make_meta_batch_pairs
+
+    fs, data, model, params, state, meta = _setup()
+    t = fs.sparse_index(meta.target)
+    n_pairs = 0
+    seen = set()
+    for ba, bb in make_meta_batch_pairs(data, fs, meta.target, 16, seed=0):
+        assert ba["sparse"].shape == bb["sparse"].shape == (16, 5)
+        np.testing.assert_array_equal(ba["sparse"][:, t], bb["sparse"][:, t])
+        # disjoint examples: at least one other column differs per row,
+        # or labels differ — check the full rows aren't identical copies
+        same = np.all(ba["sparse"] == bb["sparse"], axis=1) & (
+            ba["label"] == bb["label"])
+        assert not np.all(same)
+        for r in np.concatenate([ba["sparse"][:, t], bb["sparse"][:, t]]):
+            seen.add(int(r))
+        n_pairs += 16
+    assert n_pairs > 0 and len(seen) > 1
+
+
 def test_meta_training_reduces_meta_loss():
+    from ml_function_tpu.models.coldstart import make_meta_batch_pairs
+
     fs, data, model, params, state, meta = _setup()
     gen_params = meta.init(jax.random.PRNGKey(1))
     opt = optax.adam(1e-2)
     opt_state = opt.init(gen_params)
     step = make_meta_train_step(meta, model, opt)
-    batches = list(iter_batches(data, 64))
-    ba, bb = batches[0], batches[1]
+    ba, bb = next(make_meta_batch_pairs(data, fs, meta.target, 64, seed=0))
     before = float(meta.meta_loss(gen_params, model, params, state, ba, bb))
     for _ in range(40):
         gen_params, opt_state, loss = step(gen_params, opt_state, params,

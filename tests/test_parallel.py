@@ -95,6 +95,36 @@ def test_sharded_train_step_runs_and_learns(mesh42):
     assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
 
 
+def test_lr_linear_table_row_shards(mesh42):
+    """ADVICE r2 repro: LR's (V, 1) table must be padded + row-sharded like
+    every other embedding table (total_vocab=33 does not divide the 2-way
+    model axis without padding) and match the single-device step."""
+    fs, data = make_criteo_like(n_rows=64, n_dense=2, n_sparse=3,
+                                vocab_size=11, embed_dim=4, seed=9)
+    assert fs.total_vocab == 33  # odd on purpose
+    model = get_model("lr", fs)
+    opt = optax.sgd(0.1)
+    batch = next(iter_batches(data, 32))
+
+    from ml_function_tpu.train.loop import create_train_state, make_train_step
+    ts = create_train_state(model, jax.random.PRNGKey(3), opt)
+    ts1, out1 = make_train_step(model, opt, donate=False)(ts, batch)
+
+    sts = create_sharded_state(model, jax.random.PRNGKey(3), opt, mesh42)
+    sh = sts.params["embedding"]["linear"].sharding
+    assert sh.spec == jax.sharding.PartitionSpec("model", None)
+    assert sts.params["embedding"]["linear"].shape[0] % 2 == 0  # padded
+    sstep = make_sharded_train_step(model, opt, mesh42, donate=False)
+    sts1, out2 = sstep(sts, shard_batch(batch, mesh42))
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                               rtol=1e-5)
+    v = np.asarray(sts1.params["embedding"]["linear"])[:33]
+    np.testing.assert_allclose(
+        v, np.asarray(ts1.params["embedding"]["linear"]), rtol=1e-4,
+        atol=1e-6)
+
+
 def test_sharded_matches_single_device_step():
     """One sharded step == one single-device step (same params, same batch)."""
     fs, data = make_criteo_like(n_rows=64, n_dense=2, n_sparse=4,
