@@ -31,6 +31,10 @@ def __getattr__(name):
     if name in ("plan_field_order", "expected_shard_loads"):
         from .parallel import planner
         return getattr(planner, name)
+    if name in ("RowAdagrad", "RowAdam", "make_sparse_train_step",
+                "create_sparse_train_state", "make_row_optimizer"):
+        from .train import sparse
+        return getattr(sparse, name)
     raise AttributeError(name)
 
 
@@ -39,5 +43,7 @@ __all__ = [
     "get_model", "MODEL_REGISTRY", "fit", "train_test_split", "iter_batches",
     "Scorer", "export_model", "load_scorer", "MetaEmbedding",
     "make_meta_train_step", "fnn_from_fm", "plan_field_order",
-    "expected_shard_loads",
+    "expected_shard_loads", "RowAdagrad", "RowAdam",
+    "make_sparse_train_step", "create_sparse_train_state",
+    "make_row_optimizer",
 ]

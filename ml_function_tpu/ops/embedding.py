@@ -66,6 +66,61 @@ def _gather(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
     return split_gather(table, flat_ids, 8)
 
 
+# ---------------------------------------------------------------------------
+# row tape: the sparse-gradient interception point (train/sparse.py)
+#
+# Under ``row_tape(...)`` the FusedEmbedding lookups do NOT read the tables:
+# - record mode: each lookup appends its (column group, global ids) to the
+#   tape and returns zeros — the forward run is dead code except the id
+#   expressions (XLA DCEs the rest);
+# - inject mode: each lookup returns the next pre-gathered rows array, which
+#   the caller differentiates as an INPUT — the cotangent stays (N, W) rows
+#   and the dense (V, W) table gradient never materializes.
+# ---------------------------------------------------------------------------
+
+_ROW_TAPE = None
+
+
+class RowTape:
+    def __init__(self, mode: str, rows=None):
+        assert mode in ("record", "inject")
+        self.mode = mode
+        self.records = []          # [(group, gids)] in call order
+        self._rows = list(rows or [])
+        self._i = 0
+
+    def gather(self, group: str, gids: jax.Array, width: int) -> jax.Array:
+        if self.mode == "record":
+            self.records.append((group, gids))
+            return jnp.zeros(gids.shape + (width,), jnp.float32)
+        rows = self._rows[self._i]
+        self._i += 1
+        assert rows.shape == gids.shape + (width,), \
+            f"row tape out of sync: {rows.shape} vs {gids.shape + (width,)}"
+        return rows
+
+
+class row_tape:
+    """Context manager activating a RowTape for FusedEmbedding lookups."""
+
+    def __init__(self, tape: RowTape):
+        self.tape = tape
+
+    def __enter__(self):
+        global _ROW_TAPE
+        self._prev, _ROW_TAPE = _ROW_TAPE, self.tape
+        return self.tape
+
+    def __exit__(self, *exc):
+        global _ROW_TAPE
+        _ROW_TAPE = self._prev
+        return False
+
+
+def active_row_tape():
+    return _ROW_TAPE
+
+
 def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
     """(…,) row ids → (…, W) rows, with the tuned custom-vjp backward
     (columns split into ≤8-wide groups so fwd gathers and bwd scatters land
@@ -154,6 +209,13 @@ class FusedEmbedding:
                    ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """(B, F) ids → ((B, F, D) cross, (B, F) linear or None). Per-vocab
         grouped gathers per column group — all of them overlap on-device."""
+        tape = active_row_tape()
+        if tape is not None:
+            gids = self._global_sparse_ids(ids)
+            cross = tape.gather("table", gids, self.dim)
+            if self.with_linear:
+                return cross, tape.gather("linear", gids, 1)[..., 0]
+            return cross, None
         cross = self._sparse_rows(params["table"], ids)
         if self.with_linear:
             return cross, self._sparse_rows(params["linear"], ids)[..., 0]
@@ -161,10 +223,17 @@ class FusedEmbedding:
 
     def sparse(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F, D) cross embeddings (no linear gather)."""
+        tape = active_row_tape()
+        if tape is not None:
+            return tape.gather("table", self._global_sparse_ids(ids), self.dim)
         return self._sparse_rows(params["table"], ids)
 
     def sparse_linear(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F) first-order weights (no cross gather)."""
+        tape = active_row_tape()
+        if tape is not None:
+            return tape.gather("linear", self._global_sparse_ids(ids),
+                               1)[..., 0]
         return self._sparse_rows(params["linear"], ids)[..., 0]
 
     def seq(self, params: Params, name: str, ids: jax.Array
@@ -172,7 +241,11 @@ class FusedEmbedding:
         """(B, L) ids → ((B, L, D) embeddings with pad rows zeroed, (B, L) mask)."""
         off = self.feature_set.seq_offset(name)
         mask = ids != 0
-        rows = self._rows(params["table"], ids + off)
+        tape = active_row_tape()
+        if tape is not None:
+            rows = tape.gather("table", ids + off, self.dim)
+        else:
+            rows = self._rows(params["table"], ids + off)
         return rows * mask[..., None], mask
 
     # ---- regularization -------------------------------------------------

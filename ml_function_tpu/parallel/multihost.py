@@ -60,9 +60,18 @@ def host_batch_slice(global_batch: int) -> Tuple[int, int]:
 
 def global_metrics(local: MetricState) -> MetricState:
     """All-host merge of streaming metric state (histograms + sums are
-    linear → gather per-host states and add)."""
+    linear → gather per-host states and add).
+
+    Metric states updated INSIDE jit from globally-sharded batches are
+    already global (every host holds the same replicated totals) — returned
+    as-is. The gather-and-add path is for per-host states accumulated on
+    host-local data (e.g. a per-host eval loop over local files)."""
     if jax.process_count() == 1:
         return local
+    leaves = jax.tree_util.tree_leaves(local)
+    if leaves and all(isinstance(l, jax.Array) and not l.is_fully_addressable
+                      for l in leaves):
+        return local  # computed over global batches -> already merged
     from jax.experimental import multihost_utils
 
     gathered = multihost_utils.process_allgather(local)  # leading host axis

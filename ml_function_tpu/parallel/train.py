@@ -19,7 +19,7 @@ Usage::
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,10 +51,13 @@ def _is_expert_path(path) -> bool:
 
 def param_spec_tree(params: Params) -> Any:
     """PartitionSpec tree: embedding tables row-sharded, MoE expert stacks
-    expert-sharded, rest replicated."""
+    expert-sharded, rest replicated. Works on any tree whose paths carry the
+    table/expert dict keys — optimizer moment trees mirror the param paths
+    (``mu['embedding']['table']`` …), so the SAME rule shards Adam/Adagrad
+    moments onto their table shard's owner."""
 
     def spec(path, x):
-        if _is_table_path(path):
+        if _is_table_path(path) and x.ndim >= 2:
             return P(MODEL_AXIS, None)
         if _is_expert_path(path) and x.ndim >= 2:
             return P(*((MODEL_AXIS,) + (None,) * (x.ndim - 1)))
@@ -70,35 +73,79 @@ def _pad_tables(tree: Params, num_shards: int) -> Params:
 
 
 def create_sharded_state(model: Model, rng, optimizer, mesh: Mesh) -> TrainState:
-    """Init on host, pad tables to the shard grid, place with shardings.
+    """Sharded init: params are created UNDER ``jit`` with ``out_shardings``,
+    so each device materializes only its own table shard — no process ever
+    holds the full padded table. This is what makes multi-process multi-host
+    runs possible (devices of other hosts are not addressable, so the old
+    host-init + ``device_put`` route cannot work there); single-process runs
+    take the same path and stay bit-identical (jax PRNG is deterministic
+    under jit).
 
     Optimizer moments are created from the already-sharded params
     (``zeros_like`` inherits sharding), so Adam state for a table shard
-    lives on the shard's owner."""
+    lives on the shard's owner. Models whose ``init`` is not traceable
+    (e.g. numpy ``pre_weight`` warm-starts) fall back to host init — valid
+    single-process only."""
     init_rng, state_rng = jax.random.split(rng)  # same split as
     # train.loop.create_train_state so single-chip and sharded runs from one
     # seed are bit-comparable
-    params, model_state = model.init(init_rng)
     m = mesh.shape[MODEL_AXIS]
-    params = _pad_tables(params, m)
-    specs = param_spec_tree(params)
-    params = jax.device_put(
-        params,
-        jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
-                               is_leaf=lambda s: isinstance(s, P)))
-    opt_state = jax.jit(optimizer.init)(params)
     rep = NamedSharding(mesh, P())
-    model_state = jax.device_put(model_state, rep) if model_state else {}
+
+    def init_all(r):
+        params, model_state = model.init(r)
+        return _pad_tables(params, m), model_state
+
+    def shardings_for(tree):
+        specs = param_spec_tree(tree)
+        return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
+                                      is_leaf=lambda s: isinstance(s, P))
+
+    try:
+        shapes = jax.eval_shape(init_all, init_rng)
+        out_sh = (shardings_for(shapes[0]),
+                  jax.tree_util.tree_map(lambda _: rep, shapes[1]))
+        params, model_state = jax.jit(init_all, out_shardings=out_sh)(init_rng)
+    except jax.errors.TracerArrayConversionError:
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                f"model {model.name!r} has a non-traceable init (numpy "
+                "warm-start?); multi-process init requires jit-traceable "
+                "init — convert pre_weight arrays to jnp before init")
+        params, model_state = init_all(init_rng)
+        params = jax.device_put(params, shardings_for(params))
+        model_state = jax.device_put(model_state, rep) if model_state else {}
+    # moments get EXPLICIT shardings: jit does not propagate input shardings
+    # into fresh zeros_like outputs, so without this Adam state for a 2 GB
+    # table would land replicated (or on one device, crashing multi-process)
+    opt_shapes = jax.eval_shape(optimizer.init, params)
+    opt_state = jax.jit(optimizer.init,
+                        out_shardings=shardings_for(opt_shapes))(params)
+    # scalar state is placed through jit (device_put to a sharding that spans
+    # other processes' devices is not legal; jit-with-out-shardings is)
+    place_rep = jax.jit(lambda x: x, out_shardings=rep)
     return TrainState(params=params, opt_state=opt_state,
                       model_state=model_state,
-                      step=jax.device_put(jnp.zeros((), jnp.int32), rep),
-                      rng=jax.device_put(state_rng, rep))
+                      step=place_rep(jnp.zeros((), jnp.int32)),
+                      rng=place_rep(state_rng))
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+def shard_batch(batch: Dict, mesh: Mesh,
+                per_host: Optional[bool] = None) -> Dict:
+    """Place a batch row-sharded over ``data``.
+
+    ``per_host`` (default: auto — on when multi-process): ``batch`` holds
+    only THIS host's rows (its ``host_batch_slice`` of the global batch);
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    without any host ever holding the full batch. Single-process: a plain
+    ``device_put`` of the full batch."""
     sh = NamedSharding(mesh, P(DATA_AXIS))
+    multi = jax.process_count() > 1 if per_host is None else per_host
 
     def put(x):
+        if multi:
+            import numpy as np
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
         return jax.device_put(x, sh)
 
     out = {}

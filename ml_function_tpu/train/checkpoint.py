@@ -7,13 +7,29 @@ CTR path. Here checkpointing is first-class (SURVEY §5.4): full TrainState
 (params + optimizer moments + model state + step + rng) and data-iterator
 position, atomic write, keep-last-k GC, resume-by-step.
 
-Format: one ``.npz`` of '/'-joined keypath → array + a JSON manifest — fully
-self-contained (no orbax version coupling), works for sharded arrays (they
-are fetched to host; re-placement happens through the caller's shardings).
+TWO formats, one API (self-contained .npz + JSON manifest, no orbax version
+coupling):
+
+- ``dense`` (single-process): one ``arrays.npz`` of '/'-joined keypath →
+  full array (sharded arrays are fetched to host; re-placement happens
+  through the caller's shardings).
+- ``sharded`` (multi-process, or ``format='sharded'``): each process writes
+  ``shards_<pid>.npz`` holding ONLY the table blocks whose owner device it
+  hosts (replicas deduped by lowest device id), so no process ever
+  materializes a full row-sharded table — the multi-host pod-slice path.
+  Restore re-assembles global arrays per device via
+  ``jax.make_array_from_single_device_arrays`` against the template's
+  shardings (exact block match), or host-stitches when the restore topology
+  differs (single-process only for big tables, by design).
+
+``save_checkpoint`` picks ``sharded`` automatically when
+``jax.process_count() > 1``; every process must call save/restore
+(collective barriers inside).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -57,33 +73,108 @@ def _unflatten_like(template, flat: Dict[str, Any]):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _span_key(idx: Tuple, shape: Tuple[int, ...]) -> str:
+    """Shard index (tuple of slices) → 'lo-hi,lo-hi' span string."""
+    parts = []
+    for sl, dim in zip(idx, shape):
+        lo = 0 if sl.start is None else int(sl.start)
+        hi = dim if sl.stop is None else int(sl.stop)
+        parts.append(f"{lo}-{hi}")
+    return ",".join(parts) if parts else "scalar"
+
+
+def _span_slices(span: str) -> Tuple[slice, ...]:
+    if span == "scalar":
+        return ()
+    return tuple(slice(*map(int, p.split("-"))) for p in span.split(","))
+
+
+def _tree_of(ts: TrainState) -> Dict[str, Any]:
+    return {"params": ts.params, "opt_state": ts.opt_state,
+            "model_state": ts.model_state, "step": ts.step, "rng": ts.rng}
+
+
+def _sync(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(ckpt_dir: str, ts: TrainState, *,
                     extra: Optional[Dict[str, Any]] = None,
-                    keep: int = 3) -> str:
-    """Atomically write step-stamped checkpoint; GC old ones (keep last k)."""
+                    keep: int = 3, format: Optional[str] = None) -> str:
+    """Atomically write step-stamped checkpoint; GC old ones (keep last k).
+
+    ``format``: None → 'sharded' when multi-process else 'dense'. In a
+    multi-process run EVERY process must call this (barriers inside); each
+    writes only its owned table blocks."""
+    fmt = format or ("sharded" if jax.process_count() > 1 else "dense")
     step = int(jax.device_get(ts.step))
     os.makedirs(ckpt_dir, exist_ok=True)
-    tree = {"params": ts.params, "opt_state": ts.opt_state,
-            "model_state": ts.model_state, "step": ts.step, "rng": ts.rng}
-    flat = {k: np.asarray(jax.device_get(v)) for k, v in _flatten(tree).items()}
-
     final = os.path.join(ckpt_dir, f"ckpt_{step:010d}")
-    tmp = tempfile.mkdtemp(dir=ckpt_dir, prefix=".tmp_")
-    try:
-        np.savez(os.path.join(tmp, "arrays.npz"), **flat)
+    if fmt == "dense":
+        flat = {k: np.asarray(jax.device_get(v))
+                for k, v in _flatten(_tree_of(ts)).items()}
+        tmp = tempfile.mkdtemp(dir=ckpt_dir, prefix=".tmp_")
+        try:
+            np.savez(os.path.join(tmp, "arrays.npz"), **flat)
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                json.dump({"step": step, "format": "dense",
+                           "keys": sorted(flat), "extra": extra or {}}, f)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    else:
+        _save_sharded(ckpt_dir, final, ts, step, extra)
+
+    if jax.process_index() == 0:
+        for old in all_checkpoints(ckpt_dir)[:-keep]:
+            shutil.rmtree(old, ignore_errors=True)
+    return final
+
+
+def _save_sharded(ckpt_dir: str, final: str, ts: TrainState, step: int,
+                  extra: Optional[Dict[str, Any]]) -> None:
+    pid = jax.process_index()
+    tmp = os.path.join(ckpt_dir, f".tmp_ckpt_{step:010d}")
+    if pid == 0 and os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    _sync("ckpt_tmp_clean")
+    os.makedirs(tmp, exist_ok=True)
+
+    flat = _flatten(_tree_of(ts))
+    mine: Dict[str, np.ndarray] = {}
+    shapes, dtypes = {}, {}
+    for key, leaf in flat.items():
+        arr = leaf if isinstance(leaf, jax.Array) else jax.numpy.asarray(leaf)
+        shapes[key] = list(arr.shape)
+        dtypes[key] = np.dtype(arr.dtype).name
+        # one writer per distinct block: the lowest device id holding it
+        owner: Dict[str, int] = {}
+        for dev, idx in arr.sharding.devices_indices_map(arr.shape).items():
+            span = _span_key(idx, arr.shape)
+            owner[span] = min(owner.get(span, dev.id), dev.id)
+        for sh in arr.addressable_shards:
+            span = _span_key(sh.index, arr.shape)
+            if owner[span] == sh.device.id:
+                mine[f"{key}::{span}"] = np.asarray(sh.data)
+    np.savez(os.path.join(tmp, f"shards_{pid:05d}.npz"), **mine)
+    _sync("ckpt_shards_written")
+    if pid == 0:
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
-            json.dump({"step": step, "keys": sorted(flat),
+            json.dump({"step": step, "format": "sharded",
+                       "keys": sorted(flat), "shapes": shapes,
+                       "dtypes": dtypes,
+                       "process_count": jax.process_count(),
                        "extra": extra or {}}, f)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
-    except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-
-    for old in all_checkpoints(ckpt_dir)[:-keep]:
-        shutil.rmtree(old, ignore_errors=True)
-    return final
+    _sync("ckpt_finalized")
 
 
 def all_checkpoints(ckpt_dir: str):
@@ -101,14 +192,19 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 def restore_checkpoint(path: str, ts_template: TrainState
                        ) -> Tuple[TrainState, Dict[str, Any]]:
-    """Restore into the template's structure (and shardings via device_put
-    against the template leaves' shardings when present)."""
+    """Restore into the template's structure (and shardings via device_put /
+    per-device assembly against the template leaves' shardings)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
-    arrays = dict(np.load(os.path.join(path, "arrays.npz"), allow_pickle=False))
     tree = {"params": ts_template.params, "opt_state": ts_template.opt_state,
             "model_state": ts_template.model_state,
             "step": ts_template.step, "rng": ts_template.rng}
+
+    if manifest.get("format", "dense") == "sharded":
+        ts = _restore_sharded(path, manifest, tree)
+        return ts, manifest.get("extra", {})
+
+    arrays = dict(np.load(os.path.join(path, "arrays.npz"), allow_pickle=False))
     restored = _unflatten_like(tree, arrays)
 
     def place(new, old):
@@ -122,3 +218,66 @@ def restore_checkpoint(path: str, ts_template: TrainState
                     model_state=placed["model_state"], step=placed["step"],
                     rng=placed["rng"])
     return ts, manifest.get("extra", {})
+
+
+def _restore_sharded(path: str, manifest: Dict, tree) -> TrainState:
+    """Per-device reassembly: every process reads the shard files (shared
+    filesystem / object store) and places, for each leaf, exactly the blocks
+    its local devices own under the TEMPLATE's sharding. Saved blocks that
+    match the template's shard grid are placed directly; a differing grid is
+    host-stitched from the covering blocks (per local device, so a
+    same-grid multi-process restore never materializes a full table)."""
+    blocks: Dict[str, Dict[str, np.ndarray]] = {}
+    for f in sorted(glob.glob(os.path.join(path, "shards_*.npz"))):
+        for name, arr in np.load(f, allow_pickle=False).items():
+            key, span = name.rsplit("::", 1)
+            blocks.setdefault(key, {})[span] = arr
+
+    shapes = manifest["shapes"]
+
+    def restore_leaf(key: str, old):
+        if key not in blocks:
+            raise KeyError(f"checkpoint missing key {key!r}")
+        shape = tuple(shapes[key])
+        if hasattr(old, "shape") and tuple(old.shape) != shape:
+            raise ValueError(f"shape mismatch for {key!r}: checkpoint "
+                             f"{shape} vs template {old.shape}")
+        saved = blocks[key]
+        sharding = getattr(old, "sharding", None)
+        if sharding is None or not isinstance(old, jax.Array):
+            return jax.device_put(_stitch(saved, shape, key))
+        per_dev = []
+        for dev, idx in sharding.addressable_devices_indices_map(shape).items():
+            span = _span_key(idx, shape)
+            if span in saved:
+                block = saved[span]
+            else:  # topology changed: stitch this device's block only
+                block = _stitch(saved, shape, key)[_span_slices(span)]
+            per_dev.append(jax.device_put(block, dev))
+        return jax.make_array_from_single_device_arrays(
+            shape, sharding, per_dev)
+
+    flat_old = _flatten(tree)
+    flat_new = {k: restore_leaf(k, v) for k, v in flat_old.items()}
+    placed = _unflatten_like(tree, flat_new)
+    return TrainState(params=placed["params"], opt_state=placed["opt_state"],
+                      model_state=placed["model_state"], step=placed["step"],
+                      rng=placed["rng"])
+
+
+def _stitch(saved: Dict[str, np.ndarray], shape: Tuple[int, ...],
+            key: str) -> np.ndarray:
+    """Assemble the full host array from saved blocks (dense fallback)."""
+    if "scalar" in saved:
+        return saved["scalar"]
+    full_span = _span_key(tuple(slice(0, d) for d in shape), shape)
+    if full_span in saved:
+        return saved[full_span]
+    out = None
+    for span, arr in saved.items():
+        if out is None:
+            out = np.zeros(shape, arr.dtype)
+        out[_span_slices(span)] = arr
+    if out is None:
+        raise KeyError(f"no blocks saved for {key!r}")
+    return out

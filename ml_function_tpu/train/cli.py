@@ -19,6 +19,7 @@ import numpy as np
 from ..features.synthetic import make_behavior_data, make_criteo_like
 from ..models import get_model
 from ..parallel.mesh import make_mesh
+from ..parallel.multihost import host_batch_slice, init_multihost
 from ..parallel.train import (create_sharded_state, make_sharded_eval_step,
                               make_sharded_train_step, shard_batch)
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
@@ -67,7 +68,25 @@ def _stream_iter(cfg: Config):
         chunk_bytes=cfg.data.chunk_mb << 20, shard=shard))
 
 
+def _host_rows(batch: dict) -> dict:
+    """Multi-process: slice this host's disjoint row range out of the
+    (identically-built) global batch; ``shard_batch`` then assembles the
+    global array from the per-process slices. Single-process: identity."""
+    if jax.process_count() == 1:
+        return batch
+    start, per = host_batch_slice(len(batch["label"]))
+
+    def sl(x):
+        return x[start:start + per]
+
+    return {k: ({n: sl(a) for n, a in v.items()} if isinstance(v, dict)
+                else sl(v)) for k, v in batch.items()}
+
+
 def run(cfg: Config) -> dict:
+    # env-driven jax.distributed init (JAX_COORDINATOR/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID); no-op single-host
+    init_multihost()
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -124,7 +143,10 @@ def run(cfg: Config) -> dict:
             if step_i < start_step:
                 step_i += 1
                 continue  # fast-forward the data iterator on resume
-            sb = shard_batch(batch, mesh)
+            # stream batches are already host-local (disjoint file chunks);
+            # in-memory sources slice this host's rows out of the global batch
+            sb = shard_batch(batch if train_data is None
+                             else _host_rows(batch), mesh)
             ts, out = train_step(ts, sb)
             metrics = upd(metrics, out["logits"], out["label"], sb.get("weight"))
             step_i += 1
@@ -154,14 +176,15 @@ def run(cfg: Config) -> dict:
     if test_data is not None:
         for batch in iter_batches(test_data, cfg.train.batch_size):
             em = eval_step(ts.params, ts.model_state, em,
-                           shard_batch(batch, mesh))
+                           shard_batch(_host_rows(batch), mesh))
     result = {
         "train": metrics_summary(metrics),
         "eval": metrics_summary(em),
         "steps": step_i,
         "examples_per_sec": (n_seen / dt) if dt > 0 else 0.0,
     }
-    print(result)
+    if jax.process_index() == 0:
+        print(result)
     return result
 
 

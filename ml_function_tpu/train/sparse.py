@@ -1,0 +1,256 @@
+"""Sparse-row optimizer path for embedding tables.
+
+The dense path (train/loop.py) materializes a full (V, W) table gradient via
+scatter-add and streams the whole table + its optimizer moments every step —
+fine at Criteo scale (PERF.md: 0.9 ms for 2.6M×9 Adam), but at production
+50–500M-row tables the moment stream alone is ~21 GB/step. Here the table
+gradient NEVER materializes:
+
+1. **record**: the forward runs once under a ``RowTape`` in record mode —
+   every ``FusedEmbedding`` lookup logs its (column group, global ids) and
+   returns zeros, so XLA dead-code-eliminates everything but the id
+   expressions (ids depend only on the batch, never on params);
+2. **gather**: rows for the recorded ids are gathered OUTSIDE the loss;
+3. **inject + grad**: the forward runs again with the tape in inject mode —
+   lookups return the pre-gathered rows, which are differentiated as
+   INPUTS, so the table cotangent stays (N, W) occurrence rows;
+4. **row update**: per column group, duplicate ids are segment-summed
+   (sort + segmented ``associative_scan``) and a row-wise optimizer
+   (Adagrad / lazy Adam) reads, updates and scatters back ONLY the touched
+   rows — O(ids/step) HBM traffic instead of O(V).
+
+Matches BASELINE.json's "Adam/Adagrad sparse-update path". The reference has
+no optimizer layer at all (Keras ``adam`` string, ``un_seq.py:61``).
+
+Semantics:
+- ``RowAdagrad`` is numerically IDENTICAL to ``optax.adagrad`` (untouched
+  rows receive zero gradient there, and zero-gradient Adagrad is a no-op).
+- ``RowAdam`` is *lazy* Adam (torch ``SparseAdam`` semantics): moment decay
+  and the bias-correction clock advance only on touch. Identical to dense
+  ``optax.adam`` while every row is touched each step; diverges (on purpose
+  — no momentum tail writes) for cold rows.
+- Supported models: everything whose table lookups go through
+  ``FusedEmbedding`` (the whole registry); models with auxiliary tables
+  outside it (FFM's field blocks, OENN) fall back to the dense path with an
+  actionable error.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.base import Model
+from ..ops.embedding import RowTape, row_tape
+from .loop import TrainState, loss_fn
+
+
+# ---------------------------------------------------------------------------
+# duplicate-id reduction (static shapes; sort + segmented scan)
+# ---------------------------------------------------------------------------
+
+
+def dedup_sum(gids: jax.Array, grads: jax.Array
+              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sum duplicate ids' gradient rows.
+
+    Returns ``(sorted_ids, summed_masked, is_end)``: rows sorted by id; the
+    LAST slot of each equal-id run holds the run's summed gradient, all other
+    slots are zero (so scatter-adds over the full N stay static-shape and
+    duplicates contribute nothing)."""
+    order = jnp.argsort(gids)
+    sid = gids[order]
+    sg = grads[order]
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+
+    def comb(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb[..., None], vb, va + vb), fa | fb
+
+    summed, _ = jax.lax.associative_scan(comb, (sg, start))
+    is_end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+    return sid, jnp.where(is_end[..., None], summed, 0.0), is_end
+
+
+# ---------------------------------------------------------------------------
+# row optimizers
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RowAdagrad:
+    """Per-coordinate Adagrad on touched rows — numerically equal to
+    ``optax.adagrad`` on the dense path. ``rowwise=True`` keeps ONE
+    accumulator per row (mean of g² across the width — the classic
+    embedding-table memory saver: moments cost V floats, not V·W)."""
+
+    learning_rate: float = 1e-2
+    initial_accumulator: float = 0.1   # optax.adagrad default
+    eps: float = 1e-7                  # optax.adagrad default
+    rowwise: bool = False
+
+    def init(self, table: jax.Array) -> Dict[str, jax.Array]:
+        w = 1 if self.rowwise else table.shape[1]
+        return {"acc": jnp.full((table.shape[0], w),
+                                self.initial_accumulator, table.dtype)}
+
+    def update(self, table, state, gids, grads):
+        sid, g, _ = dedup_sum(gids, grads)
+        g2 = jnp.mean(g * g, axis=-1, keepdims=True) if self.rowwise \
+            else g * g
+        acc_rows = jnp.take(state["acc"], sid, axis=0)
+        delta = -self.learning_rate * g / (jnp.sqrt(acc_rows + g2) + self.eps)
+        return (table.at[sid].add(delta.astype(table.dtype)),
+                {"acc": state["acc"].at[sid].add(g2)})
+
+
+@dataclass(frozen=True)
+class RowAdam:
+    """LAZY Adam on touched rows (torch SparseAdam semantics): moments decay
+    and the per-row bias-correction clock ticks only when a row is touched.
+    Moments cost 2·V·W (+V int32 clock); consider RowAdagrad(rowwise=True)
+    when moment HBM is the constraint."""
+
+    learning_rate: float = 1e-3
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+    def init(self, table: jax.Array) -> Dict[str, jax.Array]:
+        return {"m": jnp.zeros_like(table), "v": jnp.zeros_like(table),
+                "t": jnp.zeros((table.shape[0],), jnp.int32)}
+
+    def update(self, table, state, gids, grads):
+        sid, g, is_end = dedup_sum(gids, grads)
+        m_rows = jnp.take(state["m"], sid, axis=0)
+        v_rows = jnp.take(state["v"], sid, axis=0)
+        t_new = (jnp.take(state["t"], sid, axis=0) + 1).astype(jnp.float32)
+        m_new = self.b1 * m_rows + (1 - self.b1) * g
+        v_new = self.b2 * v_rows + (1 - self.b2) * g * g
+        mhat = m_new / (1 - jnp.power(self.b1, t_new))[:, None]
+        vhat = v_new / (1 - jnp.power(self.b2, t_new))[:, None]
+        delta = -self.learning_rate * mhat / (jnp.sqrt(vhat) + self.eps)
+        mask = is_end[:, None]
+        zero = jnp.zeros_like(delta)
+        return (table.at[sid].add(jnp.where(mask, delta, zero)
+                                  .astype(table.dtype)),
+                {"m": state["m"].at[sid].add(
+                    jnp.where(mask, m_new - m_rows, zero)),
+                 "v": state["v"].at[sid].add(
+                     jnp.where(mask, v_new - v_rows, zero)),
+                 "t": state["t"].at[sid].add(is_end.astype(jnp.int32))})
+
+
+def make_row_optimizer(name: str = "adagrad", learning_rate: float = 1e-2,
+                       **kw):
+    name = name.lower()
+    if name == "adagrad":
+        return RowAdagrad(learning_rate, **kw)
+    if name == "adam":
+        return RowAdam(learning_rate, **kw)
+    raise ValueError(f"unknown row optimizer {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# the sparse train step
+# ---------------------------------------------------------------------------
+
+
+def create_sparse_train_state(model: Model, rng, dense_opt, row_opt
+                              ) -> TrainState:
+    """Like ``create_train_state`` but optimizer state is split:
+    ``{"dense": <optax state on non-table params>, "rows": {group: row
+    state}}``. Params keep their normal structure."""
+    init_rng, state_rng = jax.random.split(rng)
+    params, model_state = model.init(init_rng)
+    emb = params.get("embedding", {})
+    dense_tree = dict(params)
+    dense_tree["embedding"] = {}
+    return TrainState(
+        params=params,
+        opt_state={"dense": dense_opt.init(dense_tree),
+                   "rows": {g: row_opt.init(t) for g, t in emb.items()}},
+        model_state=model_state,
+        step=jnp.zeros((), jnp.int32),
+        rng=state_rng,
+    )
+
+
+def make_sparse_train_step(model: Model, dense_opt, row_opt,
+                           donate: bool = True) -> Callable:
+    """Train step with sparse row updates for the FusedEmbedding tables and
+    a normal optax update for everything else (the sparse analogue of
+    ``optimizers.embedding_partitioned``). Donation lets XLA alias the table
+    buffers, so the row scatter updates in place."""
+
+    def train_step(ts: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(ts.rng)
+        emb = ts.params.get("embedding", {})
+        dense_tree = dict(ts.params)
+        dense_tree["embedding"] = {}
+
+        # 1) record the lookup ids (forward is dead code except id exprs)
+        rec = RowTape("record")
+        try:
+            with row_tape(rec):
+                model.apply(dense_tree, ts.model_state, batch, train=True,
+                            rng=step_rng)
+        except KeyError as e:
+            raise ValueError(
+                f"model {model.name!r} reads embedding params outside "
+                f"FusedEmbedding lookups (missing key {e}); the sparse-row "
+                "path supports FusedEmbedding-only tables — use the dense "
+                "path (train.loop) for this model") from None
+
+        # 2) gather the touched rows outside the loss
+        rows_in = [jnp.take(emb[g], gid.reshape(-1), axis=0)
+                   .reshape(gid.shape + (emb[g].shape[1],))
+                   for g, gid in rec.records]
+
+        # 3) grads w.r.t. dense params AND the gathered rows
+        def loss_with(dtree, rows_list):
+            tape = RowTape("inject", rows_list)
+            with row_tape(tape):
+                return loss_fn(model, dtree, ts.model_state, batch, step_rng)
+
+        grad_fn = jax.value_and_grad(loss_with, argnums=(0, 1), has_aux=True)
+        ((total, (logits, new_state, aux, bce)),
+         (g_dense, g_rows)) = grad_fn(dense_tree, rows_in)
+
+        # 4) dense update (optax)
+        upd, dense_state = dense_opt.update(g_dense, ts.opt_state["dense"],
+                                            dense_tree)
+        new_params = optax.apply_updates(dense_tree, upd)
+
+        # 5) sparse row updates, one per column group
+        new_emb = dict(emb)
+        row_states = dict(ts.opt_state["rows"])
+        for g in emb:
+            gids = [gid.reshape(-1)
+                    for (grp, gid) in rec.records if grp == g]
+            grads = [gr.reshape(-1, emb[g].shape[1])
+                     for (grp, _), gr in zip(rec.records, g_rows)
+                     if grp == g]
+            if not gids:
+                continue
+            new_emb[g], row_states[g] = row_opt.update(
+                emb[g], row_states[g], jnp.concatenate(gids),
+                jnp.concatenate(grads))
+        new_params = dict(new_params)
+        new_params["embedding"] = new_emb
+
+        new_ts = TrainState(params=new_params,
+                            opt_state={"dense": dense_state,
+                                       "rows": row_states},
+                            model_state=new_state, step=ts.step + 1, rng=rng)
+        return new_ts, {"loss": total, "bce": bce, "logits": logits,
+                        "label": batch["label"]}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

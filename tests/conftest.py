@@ -27,6 +27,61 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np
 import pytest
 
+# ---------------------------------------------------------------------------
+# fast/slow split: the full suite takes ~14 min on this 2-CPU host (scan/jit
+# compiles dominate); the default run (`pytest -q`) excludes the heavy
+# compile tests below and finishes in <5 min. Run EVERYTHING with
+# `pytest -m ""` (CI note in README). Centralized here so the split is one
+# list, not scattered decorators.
+# ---------------------------------------------------------------------------
+
+_SLOW_NODEIDS = (
+    # parallel: a2a exchange deep-coverage (smoke parity kept in default)
+    "test_parallel.py::test_a2a_bf16_compress_close_and_grads_flow",
+    "test_parallel.py::test_a2a_grads_match",
+    "test_parallel.py::test_a2a_lookup_matches_dense",
+    "test_parallel.py::test_a2a_capacity_overflow_drops_to_zero",
+    "test_parallel.py::test_sharded_training_run_matches_single_device",
+    "test_parallel.py::test_sharded_sequence_model_matches_single_device",
+    "test_seq_parallel.py::test_seq_parallel_grads",
+    "test_pipeline.py::test_pipeline_backward_matches_sequential",
+    # heavy scan/attention compiles
+    "test_lsh_attention.py::test_bst_and_sim_lsh_option",
+    "test_models_sequence.py::test_seq_model_forward_and_grad",
+    "test_models_sequence.py::test_deepmcp_learns",
+    "test_models_longseq.py::test_mimn_batch_size_independent",
+    "test_models_longseq.py::test_longseq_forward_and_grad[mimn",
+    "test_models_longseq.py::test_longseq_forward_and_grad[hpmn",
+    "test_models_longseq.py::test_longseq_forward_and_grad[sim",
+    # multitask deep-coverage (mmoe_learns + esmm stay in default)
+    "test_models_multitask.py::test_ple_private_experts_untouched_by_other_task",
+    "test_models_multitask.py::test_ple_learns_and_isolates_gradients",
+    "test_models_multitask.py::test_forward_and_grad[ple",
+    "test_models_multitask.py::test_forward_and_grad[mmoe",
+    # cold-start meta-objective (mechanics tests stay in default)
+    "test_models_coldstart.py::test_meta_training_reduces_meta_loss",
+    "test_models_coldstart.py::test_override_changes_forward_and_grads_flow",
+    # interaction fwd/grad matrix: heavy graphs (goldens + learns + the
+    # cheap half of the matrix stay in default)
+    "test_models_interaction.py::test_model_forward_and_grad[fignn]",
+    "test_models_interaction.py::test_model_forward_and_grad[fgcnn]",
+    "test_models_interaction.py::test_model_forward_and_grad[autoint]",
+    "test_models_interaction.py::test_model_forward_and_grad[xdeepfm]",
+    "test_models_interaction.py::test_model_forward_and_grad[fat_deepffm]",
+    "test_models_interaction.py::test_model_forward_and_grad[fibinet]",
+    "test_models_interaction.py::test_model_forward_and_grad[afm]",
+    "test_models_interaction.py::test_model_forward_and_grad[pnn]",
+    "test_models_interaction.py::test_model_forward_and_grad[deepcross]",
+    "test_models_interaction.py::test_model_forward_and_grad[fnn]",
+    "test_models_interaction.py::test_model_forward_and_grad[ccpm]",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(pat in item.nodeid for pat in _SLOW_NODEIDS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

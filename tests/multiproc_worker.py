@@ -1,0 +1,114 @@
+"""Worker for the multi-process drill (tests/test_multiprocess.py).
+
+Each process: jax.distributed init -> sharded state init (jit, no full-table
+host materialization) -> 2 train steps on per-host batch slices -> sharded
+per-process checkpoint -> restore -> 2 more steps -> write result JSON.
+
+Run: python multiproc_worker.py <pid> <nprocs> <port> <workdir>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nprocs, port, workdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                  int(sys.argv[3]), sys.argv[4])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 4 * nprocs
+
+    import numpy as np
+    import optax
+
+    from ml_function_tpu.features.synthetic import make_criteo_like
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.parallel.mesh import make_mesh
+    from ml_function_tpu.parallel.multihost import (Heartbeat, global_metrics,
+                                                    host_batch_slice)
+    from ml_function_tpu.parallel.train import (create_sharded_state,
+                                                make_sharded_train_step,
+                                                shard_batch)
+    from ml_function_tpu.train.checkpoint import (latest_checkpoint,
+                                                  restore_checkpoint,
+                                                  save_checkpoint)
+    from ml_function_tpu.train.loop import iter_batches
+    from ml_function_tpu.train.metrics import (init_metrics, metrics_summary,
+                                               update_metrics)
+
+    fs, data = make_criteo_like(n_rows=256, n_dense=2, n_sparse=4,
+                                vocab_size=13, embed_dim=4, seed=0)
+    model = get_model("fm", fs)
+    opt = optax.adam(1e-2)
+    mesh = make_mesh(data=2 * nprocs, model=2)
+
+    ts = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh)
+    # the fused table is genuinely distributed: this process's addressable
+    # blocks cover only 1/model_axis of the padded rows
+    tab = ts.params["embedding"]["table"]
+    local_rows = {s.index[0] for s in tab.addressable_shards}
+    assert len(local_rows) == 2 and all(
+        (sl.stop - sl.start) == tab.shape[0] // 2 for sl in local_rows)
+
+    step = make_sharded_train_step(model, opt, mesh, donate=False)
+    batches = list(iter_batches(data, 64))
+
+    def host_slice(b):
+        start, per = host_batch_slice(len(b["label"]))
+        return {k: v[start:start + per] for k, v in b.items()}
+
+    hb = Heartbeat(os.path.join(workdir, "hb"), interval_s=0.0,
+                   timeout_s=120.0)
+    losses = []
+    metrics = init_metrics()
+    for b in batches[:2]:
+        sb = shard_batch(host_slice(b), mesh)
+        ts, out = step(ts, sb)
+        metrics = jax.jit(update_metrics)(metrics, out["logits"],
+                                          out["label"], sb.get("weight"))
+        losses.append(float(out["loss"]))
+        hb.beat(step=int(ts.step))
+        hb.check_or_raise()
+
+    ckpt = os.path.join(workdir, "ckpt")
+    path = save_checkpoint(ckpt, ts)
+    # per-process shard files exist; neither holds the full table
+    shard_files = sorted(os.listdir(path))
+    assert f"shards_{pid:05d}.npz" in shard_files, shard_files
+    mine = np.load(os.path.join(path, f"shards_{pid:05d}.npz"))
+    tkeys = [k for k in mine.files if k.startswith("params/embedding/table::")]
+    assert all(mine[k].shape[0] < tab.shape[0] for k in tkeys), \
+        "a single process wrote the full table"
+
+    # fresh state -> restore -> resume
+    ts2 = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh)
+    ts2, _ = restore_checkpoint(latest_checkpoint(ckpt), ts2)
+    assert int(jax.device_get(ts2.step)) == 2
+    for b in batches[2:4]:
+        sb = shard_batch(host_slice(b), mesh)
+        ts2, out = step(ts2, sb)
+        losses.append(float(out["loss"]))
+
+    gm = metrics_summary(global_metrics(metrics))
+    checksum = float(sum(
+        jax.jit(lambda x: jax.numpy.sum(jax.numpy.abs(x)))(l)
+        for l in jax.tree_util.tree_leaves(ts2.params)))
+    with open(os.path.join(workdir, f"result_{pid}.json"), "w") as f:
+        json.dump({"losses": losses, "checksum": checksum,
+                   "train_count": gm["count"],
+                   "step": int(jax.device_get(ts2.step))}, f)
+    print(f"worker {pid}: OK losses={losses} checksum={checksum:.6f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
