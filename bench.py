@@ -39,7 +39,7 @@ DIM = 8
 HIDDEN = (256, 128, 64)
 
 
-def bench_model(name: str, steps: int, hp=None) -> float:
+def bench_model(name: str, steps: int, hp=None, batch: int = 0) -> float:
     """Secondary per-model throughput (same methodology as bench_jax)."""
     import jax
     import jax.numpy as jnp
@@ -49,22 +49,27 @@ def bench_model(name: str, steps: int, hp=None) -> float:
     from ml_function_tpu.models import get_model
     from ml_function_tpu.train.loop import TrainState, create_train_state, loss_fn
 
+    b = batch or BATCH
     fs = criteo_feature_set([VOCAB] * N_SPARSE, n_dense=N_DENSE, embed_dim=DIM)
     model = get_model(name, fs, **(hp or {}))
     opt = optax.adam(1e-3)
     ts = create_train_state(model, jax.random.PRNGKey(0), opt)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
-    batch = {
-        "dense": jax.random.uniform(k1, (BATCH, N_DENSE), jnp.float32),
-        "sparse": jax.random.randint(k2, (BATCH, N_SPARSE), 1, VOCAB,
+    batch_d = {
+        "dense": jax.random.uniform(k1, (b, N_DENSE), jnp.float32),
+        "sparse": jax.random.randint(k2, (b, N_SPARSE), 1, VOCAB,
                                      jnp.int32),
-        "label": jax.random.bernoulli(k3, 0.3, (BATCH,)).astype(jnp.float32),
+        "label": jax.random.bernoulli(k3, 0.3, (b,)).astype(jnp.float32),
     }
+    # multitask models (esmm/mmoe/ple) read a second task target
+    batch_d["click"] = jnp.maximum(
+        batch_d["label"],
+        jax.random.bernoulli(k1, 0.3, (b,)).astype(jnp.float32))
 
     def one_step(carry):
         p, o = carry
         grads = jax.grad(
-            lambda p: loss_fn(model, p, {}, batch, jax.random.PRNGKey(0))[0])(p)
+            lambda p: loss_fn(model, p, {}, batch_d, jax.random.PRNGKey(0))[0])(p)
         u, o = opt.update(grads, o, p)
         return optax.apply_updates(p, u), o
 
@@ -82,9 +87,22 @@ def bench_model(name: str, steps: int, hp=None) -> float:
 
     short = max(steps // 10, 2)
     per = (run_n(short + steps) - run_n(short)) / steps
-    eps = BATCH / per
-    log(f"{name}: {per*1e3:.3f} ms/step -> {eps:,.0f} examples/s/chip")
+    eps = b / per
+    log(f"{name} (B={b}): {per*1e3:.3f} ms/step -> {eps:,.0f} examples/s/chip")
     return eps
+
+
+def bench_model_best_batch(name: str, steps: int, hp=None,
+                           batches=(16384, 32768, 65536)):
+    """Per-model optimal batch: measure each candidate, return the best
+    (batch, examples/s)."""
+    best = (0, 0.0)
+    for b in batches:
+        eps = bench_model(name, steps, hp, batch=b)
+        if eps > best[1]:
+            best = (b, eps)
+    log(f"{name}: best batch {best[0]} -> {best[1]:,.0f} examples/s/chip")
+    return best
 
 
 def bench_lookup_rate(steps: int = 50) -> float:
@@ -120,26 +138,68 @@ def bench_lookup_rate(steps: int = 50) -> float:
     return rate
 
 
+def _behavior_batch(batch: int, seq_len: int, n_items=5000, n_cates=100,
+                    session_shape=None, long_seq: int = 0):
+    """Random device-resident behavior batch (synthetic ids — throughput
+    benches don't need learnable structure, and make_behavior_data's planted
+    interest loop is too slow at 16k-length sequences)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ml_function_tpu.features.schema import (FeatureSet, SeqSpec,
+                                                 SparseSpec)
+
+    iv, cv = n_items + 1, n_cates + 1
+    seqs = [SeqSpec("hist_item", iv, seq_len, vocab_name="item", dim=DIM,
+                    session_shape=session_shape),
+            SeqSpec("hist_cate", cv, seq_len, vocab_name="cate", dim=DIM,
+                    session_shape=session_shape)]
+    if long_seq:
+        seqs.append(SeqSpec("hist_long", iv, long_seq, vocab_name="item",
+                            dim=DIM))
+    fs = FeatureSet(
+        sparse=(SparseSpec("item", iv, vocab_name="item", dim=DIM),
+                SparseSpec("cate", cv, vocab_name="cate", dim=DIM)),
+        seq=tuple(seqs))
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    seq_d = {"hist_item": jax.random.randint(ks[0], (batch, seq_len), 1, iv,
+                                             jnp.int32),
+             "hist_cate": jax.random.randint(ks[1], (batch, seq_len), 1, cv,
+                                             jnp.int32)}
+    if long_seq:
+        seq_d["hist_long"] = jax.random.randint(ks[2], (batch, long_seq), 1,
+                                                iv, jnp.int32)
+    batch_d = {
+        "dense": jnp.zeros((batch, 0), jnp.float32),
+        "sparse": jnp.stack(
+            [jax.random.randint(ks[3], (batch,), 1, iv, jnp.int32),
+             jax.random.randint(ks[4], (batch,), 1, cv, jnp.int32)], axis=1),
+        "seq": seq_d,
+        "label": jax.random.bernoulli(ks[5], 0.4, (batch,)).astype(
+            jnp.float32),
+    }
+    return fs, batch_d
+
+
 def bench_seq_model(name: str = "din", steps: int = 20, batch: int = 2048,
-                    seq_len: int = 64) -> float:
+                    seq_len: int = 64, hp=None, session_shape=None,
+                    long_seq: int = 0) -> float:
     """Behavior-sequence model throughput (reference seq.py shapes, scaled:
-    batch 2048, history length 64 vs the reference's batch 32 / len 90)."""
+    batch 2048, history length 64 vs the reference's batch 32 / len 90).
+    ``long_seq`` adds a 'hist_long' sequence (SIM lifelong tier)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from ml_function_tpu.features.synthetic import make_behavior_data
     from ml_function_tpu.models import get_model
     from ml_function_tpu.train.loop import create_train_state, loss_fn
 
-    fs, data = make_behavior_data(n_rows=batch, n_items=5000, n_cates=100,
-                                  seq_len=seq_len, vocab_size=100)
-    model = get_model(name, fs)
+    fs, batch_d = _behavior_batch(batch, seq_len,
+                                  session_shape=session_shape,
+                                  long_seq=long_seq)
+    model = get_model(name, fs, **(hp or {}))
     opt = optax.adam(1e-3)
     ts = create_train_state(model, jax.random.PRNGKey(0), opt)
-    batch_d = {k: (jnp.asarray(v) if not isinstance(v, dict) else
-                   {n: jnp.asarray(a) for n, a in v.items()})
-               for k, v in data.items()}
 
     def one_step(carry):
         p, o = carry
@@ -166,6 +226,95 @@ def bench_seq_model(name: str = "din", steps: int = 20, batch: int = 2048,
     log(f"{name} (B={batch}, L={seq_len}): {per*1e3:.3f} ms/step -> "
         f"{eps:,.0f} examples/s/chip")
     return eps
+
+
+def bench_lookup_tight(n_runs: int = 5, steps: int = 50):
+    """Lookup rate measured N times: median + spread (kills the 96–282M
+    variance band of the r2 board — tunnel jitter is per-RUN, so the median
+    of chained-loop runs is stable)."""
+    import numpy as np
+
+    rates = [bench_lookup_rate(steps) for _ in range(n_runs)]
+    med = float(np.median(rates))
+    spread = (max(rates) - min(rates)) / med
+    log(f"lookup (median of {n_runs}): {med/1e6:,.1f}M lookups/s/chip "
+        f"(spread {100*spread:.0f}%: "
+        f"{min(rates)/1e6:,.0f}–{max(rates)/1e6:,.0f}M)")
+    return med, spread
+
+
+def bench_sparse_path(vocab_per_field: int, steps: int = 10,
+                      batch: int = 32768, row_opt_name: str = "adagrad"):
+    """Dense full-table optax update vs the sparse-row path (train/sparse.py)
+    at a given table scale — the crossover row for PERF.md. Both time the
+    SAME DeepFM step (fwd+bwd+update) via chained dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ml_function_tpu.features.schema import criteo_feature_set
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.train.loop import create_train_state, make_train_step
+    from ml_function_tpu.train.sparse import (create_sparse_train_state,
+                                              make_row_optimizer,
+                                              make_sparse_train_step)
+
+    fs = criteo_feature_set([vocab_per_field] * N_SPARSE, n_dense=N_DENSE,
+                            embed_dim=DIM)
+    total = fs.total_vocab
+    model = get_model("deepfm", fs, hidden=HIDDEN)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    batch_d = {
+        "dense": jax.random.uniform(k1, (batch, N_DENSE), jnp.float32),
+        "sparse": jax.random.randint(k2, (batch, N_SPARSE), 1,
+                                     vocab_per_field, jnp.int32),
+        "label": jax.random.bernoulli(k3, 0.3, (batch,)).astype(jnp.float32),
+    }
+    jax.block_until_ready(batch_d)
+
+    def timed(step_fn, ts, n):
+        """Chained lax.fori_loop timing (cancels the ~18 ms tunnel dispatch;
+        the inner jitted step inlines into the loop body)."""
+        import time as _t
+
+        def run_n(k):
+            @jax.jit
+            def f(t):
+                def body(i, tt):
+                    t2, _ = step_fn(tt, batch_d)
+                    return t2
+                return jax.lax.fori_loop(0, k, body, t)
+            r = f(ts)
+            float(jnp.sum(r.params["bias"]))  # force full execution
+            t0 = _t.perf_counter()
+            r = f(ts)
+            float(jnp.sum(r.params["bias"]))
+            return _t.perf_counter() - t0
+
+        short = max(n // 5, 2)
+        return (run_n(short + n) - run_n(short)) / n
+
+    out = {}
+    # dense path: same optimizer family full-table
+    dense_opt = (optax.adagrad(1e-2) if row_opt_name == "adagrad"
+                 else optax.adam(1e-3))
+    ts = create_train_state(model, jax.random.PRNGKey(0), dense_opt)
+    per_d = timed(make_train_step(model, dense_opt, donate=False), ts, steps)
+    out["dense"] = per_d
+    log(f"sparse-bench V={total/1e6:.1f}M dense-{row_opt_name}: "
+        f"{per_d*1e3:.2f} ms/step ({batch/per_d:,.0f} ex/s)")
+
+    row_opt = make_row_optimizer(row_opt_name,
+                                 1e-2 if row_opt_name == "adagrad" else 1e-3)
+    ts_s = create_sparse_train_state(model, jax.random.PRNGKey(0),
+                                     optax.adam(1e-3), row_opt)
+    per_s = timed(make_sparse_train_step(model, optax.adam(1e-3), row_opt,
+                                         donate=False), ts_s, steps)
+    out["sparse"] = per_s
+    log(f"sparse-bench V={total/1e6:.1f}M sparse-row-{row_opt_name}: "
+        f"{per_s*1e3:.2f} ms/step ({batch/per_s:,.0f} ex/s, "
+        f"{per_d/per_s:.2f}x dense)")
+    return out
 
 
 def bench_scoring(steps: int = 50) -> float:
@@ -396,6 +545,80 @@ def bench_walks(n_nodes: int = 20_000, n_edges: int = 200_000) -> float:
     return w.size / dt
 
 
+def run_board(steps: int):
+    """The full bench board (VERDICT r2 #3): every row at current code, one
+    command, one commit stamp. Writes markdown to .bench_board.md (stderr
+    shows progress); PERF.md's board section is pasted from it."""
+    import subprocess
+
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True,
+                                cwd=os.path.dirname(os.path.abspath(__file__))
+                                ).stdout.strip()
+    except Exception:
+        commit = "?"
+    stamp = time.strftime("%Y-%m-%d")
+    rows = []
+
+    def add(metric, value, note=""):
+        rows.append((metric, value, note))
+        log(f"[board] {metric}: {value} {note}")
+
+    # interaction tier at per-model optimal batch
+    for name, hp in [("deepfm", {"hidden": HIDDEN}), ("xdeepfm", None),
+                     ("dlrm", None), ("fibinet", None)]:
+        b, eps = bench_model_best_batch(name, steps // 2, hp)
+        add(f"{name} train", f"{eps:,.0f} ex/s/chip", f"B={b}")
+    # multitask tier
+    eps = bench_model("mmoe", steps // 2, batch=32768)
+    add("mmoe train", f"{eps:,.0f} ex/s/chip", "B=32768")
+    # sequence tier
+    for name, kw in [
+        ("din", dict(batch=4096, seq_len=64)),
+        ("dien", dict(batch=4096, seq_len=64)),
+        ("dsin", dict(batch=2048, seq_len=64, session_shape=(8, 8),
+                      hp={"session_shape": (8, 8)})),
+        ("hpmn", dict(batch=2048, seq_len=64)),
+        ("mimn", dict(batch=1024, seq_len=64)),
+    ]:
+        eps = bench_seq_model(name, max(steps // 3, 4), **kw)
+        add(f"{name} train", f"{eps:,.0f} ex/s/chip",
+            f"B={kw['batch']}, L={kw['seq_len']}")
+    # lifelong tier: SIM end-to-end over a 16k-key long sequence; the ESU
+    # self-attention rides the Pallas flash kernel (flash='auto', Lk >= 512)
+    eps = bench_seq_model("sim", 4, batch=8, seq_len=64, long_seq=16384,
+                          hp={"search": "hard",
+                              "long_behavior": ("hist_long",)})
+    add("sim train (16k keys, flash ESU)", f"{eps:,.0f} ex/s/chip",
+        "B=8, L_long=16384")
+    # embedding store
+    med, spread = bench_lookup_tight()
+    add("embedding lookups", f"{med/1e6:,.0f}M ids/s/chip",
+        f"median of 5, spread {100*spread:.0f}%")
+    add("deepfm scoring", f"{bench_scoring()/1e6:,.2f}M ex/s/chip",
+        f"B={BATCH}")
+    # sparse-row optimizer crossover (Criteo scale + 26M-row production)
+    for v in (100_000, 1_000_000):
+        r = bench_sparse_path(v, steps=6)
+        total = v * N_SPARSE / 1e6
+        add(f"sparse-row vs dense update (V={total:.0f}M)",
+            f"{r['dense']*1e3:.1f} -> {r['sparse']*1e3:.1f} ms/step",
+            f"{r['dense']/r['sparse']:.2f}x")
+    add("native criteo loader", f"{bench_loader()/1e6:.2f}M rows/s", "host")
+    add("native deepwalk walks", f"{bench_walks()/1e6:.1f}M steps/s", "host")
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_board.md")
+    with open(path, "w") as f:
+        f.write(f"## Bench board — {stamp}, commit {commit}, v5e single "
+                f"chip (`python bench.py --board`)\n\n")
+        f.write("| metric | value | config |\n|---|---|---|\n")
+        for m, v, n in rows:
+            f.write(f"| {m} | {v} | {n} |\n")
+    log(f"[board] written to {path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
@@ -403,11 +626,16 @@ def main():
     ap.add_argument("--skip-tf", action="store_true")
     ap.add_argument("--all", action="store_true",
                     help="also bench xdeepfm/din + lookup rate (stderr)")
+    ap.add_argument("--board", action="store_true",
+                    help="full refreshed bench board -> .bench_board.md")
     args = ap.parse_args()
 
     if args.batch:
         global BATCH
         BATCH = args.batch
+    if args.board:
+        run_board(args.steps)
+        return
     eps = bench_jax(args.steps)
     if args.all:
         bench_model("xdeepfm", args.steps // 2)

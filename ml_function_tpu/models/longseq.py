@@ -293,6 +293,25 @@ def SIM(fs: FeatureSet,
     long_behavior = long_behavior or behavior
     fe = FusedEmbedding(fs, with_linear=False)
     d, kd, L, n_other = _beh_dims(fs, candidate, behavior)
+    # The long sequence may carry fewer fields than the short behavior
+    # (e.g. one 16k item stream vs item+cate pairs). Soft search stays in
+    # the RAW embedding space — scored against the candidate subfields that
+    # share the long fields' vocabs, so the same-id inner-product prior that
+    # makes soft search work survives — and only the top-k REDUCED rows are
+    # width-aligned for the ESU (reference AlignLayer idea,
+    # core_layer.py:240-257; also k rows to project instead of 16k).
+    kd_long = sum(fs.seq_spec(n).dim for n in long_behavior)
+    align_long = Dense(kd_long, kd) if kd_long != kd else None
+    cand_vocab_col = {fs.sparse[fs.sparse_index(n)].vocab: fs.sparse_index(n)
+                      for n in candidate}
+    long_score_cols = [cand_vocab_col.get(fs.seq_spec(n).vocab)
+                       for n in long_behavior]
+    if any(c is None for c in long_score_cols):
+        raise ValueError(
+            f"every long_behavior field must share a vocab with a candidate "
+            f"field for soft search (long vocabs "
+            f"{[fs.seq_spec(n).vocab for n in long_behavior]}, candidate "
+            f"vocabs {list(cand_vocab_col)})")
     dien = DIEN(fs, candidate, behavior, hidden=hidden)
     if esu_attention == "lsh":  # roadmap hash option over the long sequence
         from ..ops.attention import LSHSelfAttention
@@ -304,17 +323,23 @@ def SIM(fs: FeatureSet,
     mlp = MLP(in_dim, hidden, activation="prelu", norm="layer", out_dim=1)
 
     def init_fn(rng):
-        rngs = split_rngs(rng, ["dien", "mha", "attn", "mlp"])
+        rngs = split_rngs(rng, ["dien", "mha", "attn", "mlp", "align_long"])
         dien_params, _ = dien.init(rngs["dien"])
-        return {"dien": dien_params, "mha": mha.init(rngs["mha"]),
-                "attn": attn.init(rngs["attn"]), "mlp": mlp.init(rngs["mlp"])}
+        p = {"dien": dien_params, "mha": mha.init(rngs["mha"]),
+             "attn": attn.init(rngs["attn"]), "mlp": mlp.init(rngs["mlp"])}
+        if align_long is not None:
+            p["align_long"] = align_long.init(rngs["align_long"])
+        return p
 
     def fwd(params, batch, train):
         emb_p = params["dien"]["embedding"]
         cand, long_beh, long_mask, l2_long, emb = behavior_inputs(
             fe, emb_p, batch, candidate, long_behavior)
         if search == "soft":
-            scores = jnp.einsum("bld,bd->bl", long_beh, cand)
+            # raw-space scoring against the vocab-matched candidate slice
+            cand_long = jnp.concatenate([emb[:, c, :]
+                                         for c in long_score_cols], axis=-1)
+            scores = jnp.einsum("bld,bd->bl", long_beh, cand_long)
             scores = jnp.where(long_mask, scores, -jnp.inf)
             k = min(top_k, long_beh.shape[1])
             top_s, top_i = jax.lax.top_k(scores, k)
@@ -322,6 +347,8 @@ def SIM(fs: FeatureSet,
             red_mask = jnp.take_along_axis(long_mask, top_i, axis=1)
         else:  # hard search already applied in preprocessing
             reduced, red_mask = long_beh, long_mask
+        if align_long is not None:
+            reduced = align_long(params["align_long"], reduced)
 
         any_valid = jnp.any(red_mask, axis=1)
         safe_mask = red_mask | ~any_valid[:, None]

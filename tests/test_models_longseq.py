@@ -131,3 +131,43 @@ def test_dts_uses_time_deltas(beh_data):
         batch["seq"]["hist_item"].shape, np.float32)
     timed, _, _ = model.apply(params, state, batch2, train=False)
     assert not np.allclose(np.asarray(base), np.asarray(timed))
+
+
+def test_sim_long_behavior_width_alignment():
+    """A long stream with FEWER fields than the short behavior (one 16k item
+    stream vs item+cate pairs) gets a learned width alignment before the
+    ESU — the lifelong-SIM serving shape (bench.py --board 16k-key row)."""
+    from ml_function_tpu.features.schema import (FeatureSet, SeqSpec,
+                                                 SparseSpec)
+
+    fs = FeatureSet(
+        sparse=(SparseSpec("item", 40, vocab_name="item", dim=4),
+                SparseSpec("cate", 9, vocab_name="cate", dim=4)),
+        seq=(SeqSpec("hist_item", 40, 8, vocab_name="item", dim=4),
+             SeqSpec("hist_cate", 9, 8, vocab_name="cate", dim=4),
+             SeqSpec("hist_long", 40, 32, vocab_name="item", dim=4)))
+    model = get_model("sim", fs, hidden=(16, 8), search="hard",
+                      long_behavior=("hist_long",))
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert "align_long" in params  # 4-wide long stream -> 8-wide ESU
+    rng = np.random.default_rng(0)
+    batch = {
+        "dense": np.zeros((16, 0), np.float32),
+        "sparse": np.stack([rng.integers(1, 40, 16),
+                            rng.integers(1, 9, 16)], axis=1).astype(np.int32),
+        "seq": {"hist_item": rng.integers(0, 40, (16, 8)).astype(np.int32),
+                "hist_cate": rng.integers(0, 9, (16, 8)).astype(np.int32),
+                "hist_long": rng.integers(0, 40, (16, 32)).astype(np.int32)},
+        "label": rng.integers(0, 2, 16).astype(np.float32),
+    }
+    logits, _, aux = model.apply(params, state, batch, train=True)
+    assert logits.shape == (16,) and np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        lg, _, ax = model.apply(p, state, batch, train=True)
+        return jnp.mean(jnp.square(lg)) + sum(ax.values())
+
+    g = jax.grad(loss)(params)
+    gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(
+        g["align_long"]))
+    assert np.isfinite(gn) and gn > 0
