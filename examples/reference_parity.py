@@ -49,6 +49,15 @@ def eval_metrics(y, p):
 def model_hp(args):
     if args.model == "din":
         return {"hidden": (200, 80)}
+    if args.model == "dien":
+        return {"hidden": (200, 80), "mode": "aigru",
+                "aux_weight": args.aux_weight}
+    if args.model == "dsin":
+        return {"hidden": (200, 80),
+                "session_shape": tuple(args.session_shape)}
+    if args.model == "mmoe":
+        return {"n_experts": 4, "expert_hidden": (64,),
+                "tower_hidden": (32,)}
     if args.model == "fm":
         return {}
     if args.model == "autoint":
@@ -315,6 +324,256 @@ def run_tf_din(fs, train, test, args):
     return met
 
 
+def _beh_embeds(fs):
+    """Shared TF embedding tables + candidate/behavior assembly for the
+    behavior-family compositions (fresh Keras 3, reference semantics)."""
+    import keras
+    from keras import layers
+
+    d = fs.embed_dim
+    item_v = fs.sparse[0].vocab_size
+    cate_v = fs.sparse[1].vocab_size
+    init = keras.initializers.RandomNormal(0, 0.05)
+    emb_item = layers.Embedding(item_v, d, embeddings_initializer=init)
+    emb_cate = layers.Embedding(cate_v, d, embeddings_initializer=init)
+    return d, emb_item, emb_cate
+
+
+def _din_attention(ops, att_d1, att_d2, cand, keys, mask):
+    """Reference AttentionUnit scoring (behavior_layer.py:53-83): DNN on
+    [cand, keys, cand−keys, cand·keys], −1e9 mask, softmax."""
+    c = ops.broadcast_to(cand[:, None, :], ops.shape(keys))
+    s = att_d2(att_d1(ops.concatenate([c, keys, c - keys, c * keys],
+                                      -1)))[..., 0]
+    s = s + (1.0 - mask) * -1e9
+    return ops.softmax(s, axis=-1)
+
+
+def run_tf_dien(fs, train, test, args):
+    """Reference DIEN composition (models.py:202-238): GRU interest
+    extractor + auxiliary loss (AuxiliaryLayer, behavior_layer.py:122-152;
+    negatives drawn from the batch, SampleLayer :154-171) → AIGRU evolution
+    (the reference's default path, :199-241) → PReLU DNN."""
+    import os
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import keras
+    from keras import layers, ops
+
+    d, emb_item, emb_cate = _beh_embeds(fs)
+    kd = 2 * d
+    L = train["seq"]["hist_item"].shape[1]
+    n_extra = len(fs.sparse) - 2
+    u_vocab = fs.sparse[2].vocab_size if n_extra else 0
+    init = keras.initializers.RandomNormal(0, 0.05)
+    emb_u = (layers.Embedding(u_vocab * n_extra, d,
+                              embeddings_initializer=init) if n_extra else None)
+
+    inp_sparse = keras.Input((len(fs.sparse),), dtype="int32")
+    inp_hitem = keras.Input((L,), dtype="int32")
+    inp_hcate = keras.Input((L,), dtype="int32")
+
+    class DIENBody(layers.Layer):
+        def __init__(self):
+            super().__init__()
+            self.gru1 = layers.GRU(kd, return_sequences=True)
+            self.gru2 = layers.GRU(kd)
+            self.aux = keras.Sequential([
+                layers.Dense(100, activation="sigmoid"),
+                layers.Dense(50, activation="sigmoid"),
+                layers.Dense(1)])
+            self.att_d1 = layers.Dense(36, activation="sigmoid")
+            self.att_d2 = layers.Dense(1)
+
+        def call(self, sparse, hitem, hcate):
+            cand = ops.concatenate([emb_item(sparse[:, 0]),
+                                    emb_cate(sparse[:, 1])], -1)
+            mask = ops.cast(ops.not_equal(hitem, 0), "float32")
+            beh = ops.concatenate([emb_item(hitem), emb_cate(hcate)], -1)
+            beh = beh * mask[..., None]
+            states = self.gru1(beh)
+
+            # aux loss: classify (h_t, e_{t+1}) click vs (h_t, e_neg)
+            h_t = states[:, :-1, :]
+            pos = beh[:, 1:, :]
+            neg = ops.roll(beh, 1, axis=0)[:, 1:, :]
+            s_pos = self.aux(ops.concatenate([h_t, pos], -1))[..., 0]
+            s_neg = self.aux(ops.concatenate([h_t, neg], -1))[..., 0]
+            m = mask[:, 1:] * mask[:, :-1]
+            aux = -ops.sum((ops.log_sigmoid(s_pos)
+                            + ops.log_sigmoid(-s_neg)) * m) \
+                / ops.maximum(ops.sum(m), 1.0)
+            self.add_loss(args.aux_weight * aux)
+
+            a = _din_attention(ops, self.att_d1, self.att_d2, cand, states,
+                               mask)
+            final = self.gru2(states * a[..., None])  # AIGRU
+            parts = [cand, final]
+            if emb_u is not None:
+                offs = ops.convert_to_tensor(
+                    np.arange(n_extra, dtype=np.int32) * u_vocab)
+                u = emb_u(sparse[:, 2:] + offs[None, :])
+                parts.append(ops.reshape(u, (-1, n_extra * d)))
+            return ops.concatenate(parts, -1)
+
+    h = DIENBody()(inp_sparse, inp_hitem, inp_hcate)
+    for width in (200, 80):
+        h = layers.Dense(width)(h)
+        h = layers.BatchNormalization()(h)
+        h = layers.PReLU()(h)
+    out = layers.Dense(1, activation="sigmoid")(h)[:, 0]
+    m = keras.Model([inp_sparse, inp_hitem, inp_hcate], out)
+    return _tf_fit_eval_seq(m, train, test, args)
+
+
+def run_tf_dsin(fs, train, test, args):
+    """Reference DSIN composition (models.py:240-261): session division +
+    bias position encodings (behavior_layer.py:428-475) → per-session
+    self-attention (:478-495) → BiLSTM across sessions (:497-508) → two
+    target attentions → PReLU DNN."""
+    import os
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import keras
+    from keras import layers, ops
+
+    d, emb_item, emb_cate = _beh_embeds(fs)
+    kd = 2 * d
+    L = train["seq"]["hist_item"].shape[1]
+    S, Ls = args.session_shape
+    assert S * Ls == L
+    H = kd // 2
+
+    inp_sparse = keras.Input((len(fs.sparse),), dtype="int32")
+    inp_hitem = keras.Input((L,), dtype="int32")
+    inp_hcate = keras.Input((L,), dtype="int32")
+
+    class DSINBody(layers.Layer):
+        def build(self, _):
+            self.bias_s = self.add_weight(shape=(S, 1, 1), name="bias_s",
+                                          initializer="zeros")
+            self.bias_p = self.add_weight(shape=(1, Ls, 1), name="bias_p",
+                                          initializer="zeros")
+            self.bias_d = self.add_weight(shape=(1, 1, kd), name="bias_d",
+                                          initializer="zeros")
+            self.mha = layers.MultiHeadAttention(num_heads=2,
+                                                 key_dim=kd // 2,
+                                                 output_shape=kd)
+            self.bilstm = layers.Bidirectional(
+                layers.LSTM(H, return_sequences=True))
+            self.att1 = [layers.Dense(36, activation="sigmoid")
+                         for _ in range(2)]
+            self.att2 = [layers.Dense(1) for _ in range(2)]
+
+        def call(self, sparse, hitem, hcate):
+            cand = ops.concatenate([emb_item(sparse[:, 0]),
+                                    emb_cate(sparse[:, 1])], -1)
+            mask = ops.cast(ops.not_equal(hitem, 0), "float32")
+            beh = ops.concatenate([emb_item(hitem), emb_cate(hcate)], -1)
+            beh = beh * mask[..., None]
+            sess = ops.reshape(beh, (-1, S, Ls, kd))
+            sess = sess + (self.bias_s + self.bias_p + self.bias_d)[None]
+            flat = ops.reshape(sess, (-1, Ls, kd))
+            sm = ops.reshape(mask, (-1, Ls))
+            att = self.mha(flat, flat,
+                           attention_mask=ops.cast(sm, "bool")[:, None, :])
+            denom = ops.maximum(ops.sum(sm, -1, keepdims=True), 1.0)
+            interests = ops.sum(att * sm[..., None], 1) / denom
+            interests = ops.reshape(interests, (-1, S, kd))
+            sess_valid = ops.cast(
+                ops.any(ops.reshape(ops.cast(mask, "bool"), (-1, S, Ls)), 2),
+                "float32")
+            lstm_out = self.bilstm(interests)
+            a_i = _din_attention(ops, self.att1[0], self.att2[0], cand,
+                                 interests, sess_valid)
+            pooled_i = ops.sum(a_i[..., None] * interests, 1)
+            a_l = _din_attention(ops, self.att1[1], self.att2[1], cand,
+                                 lstm_out, sess_valid)
+            pooled_l = ops.sum(a_l[..., None] * lstm_out, 1)
+            return ops.concatenate([cand, pooled_i, pooled_l], -1)
+
+    h = DSINBody()(inp_sparse, inp_hitem, inp_hcate)
+    for width in (200, 80):
+        h = layers.Dense(width)(h)
+        h = layers.BatchNormalization()(h)
+        h = layers.PReLU()(h)
+    out = layers.Dense(1, activation="sigmoid")(h)[:, 0]
+    m = keras.Model([inp_sparse, inp_hitem, inp_hcate], out)
+    return _tf_fit_eval_seq(m, train, test, args)
+
+
+def run_tf_mmoe(fs, train, test, args):
+    """MMoE composition (the cvr_model the reference stubbed,
+    kon/model/cvr_model/ — implemented to the paper): shared experts,
+    per-task softmax gates, per-task towers; primary task scored."""
+    import os
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import keras
+    from keras import layers, ops
+
+    n_dense = len(fs.dense)
+    n_sparse = len(fs.sparse)
+    vocab = fs.sparse[0].vocab_size
+    dim = fs.embed_dim
+    n_exp = 4
+
+    inp_dense = keras.Input((n_dense,))
+    inp_sparse = keras.Input((n_sparse,), dtype="int32")
+    offs = np.arange(n_sparse, dtype=np.int32) * vocab
+
+    class Offset(layers.Layer):
+        def call(self, x):
+            return x + ops.convert_to_tensor(offs)[None, :]
+
+    e = layers.Embedding(
+        vocab * n_sparse, dim,
+        embeddings_initializer=keras.initializers.RandomNormal(0, 0.05))(
+        Offset()(inp_sparse))
+    h = layers.Flatten()(e)
+    if n_dense:
+        h = layers.Concatenate()([h, inp_dense])
+    experts = ops.stack([layers.Dense(64, activation="relu")(h)
+                         for _ in range(n_exp)], axis=1)   # (B, E, 64)
+    outs = []
+    for _ in range(2):  # cvr (primary) + ctr task
+        gate = layers.Dense(n_exp, activation="softmax")(h)  # (B, E)
+        mixed = ops.sum(experts * gate[..., None], axis=1)
+        t = layers.Dense(32, activation="relu")(mixed)
+        outs.append(layers.Dense(1, activation="sigmoid")(t)[:, 0])
+    m = keras.Model([inp_dense, inp_sparse], outs)
+    m.compile(optimizer=keras.optimizers.Adam(args.lr),
+              loss=["binary_crossentropy", "binary_crossentropy"])
+    t0 = time.perf_counter()
+    m.fit([train["dense"], train["sparse"]],
+          [train["label"], train["click"]],
+          batch_size=args.batch, epochs=args.epochs, verbose=2)
+    dt = time.perf_counter() - t0
+    p = m.predict([test["dense"], test["sparse"]], batch_size=args.batch,
+                  verbose=0)[0]
+    met = eval_metrics(test["label"], p)
+    met["train_s"] = round(dt, 1)
+    met["examples_per_sec"] = round(args.epochs * len(train["label"]) / dt)
+    return met
+
+
+def _tf_fit_eval_seq(m, train, test, args):
+    import keras
+
+    m.compile(optimizer=keras.optimizers.Adam(args.lr),
+              loss="binary_crossentropy")
+
+    def xs(d_):
+        return [d_["sparse"], d_["seq"]["hist_item"], d_["seq"]["hist_cate"]]
+
+    t0 = time.perf_counter()
+    m.fit(xs(train), train["label"], batch_size=args.batch,
+          epochs=args.epochs, verbose=2)
+    dt = time.perf_counter() - t0
+    p = m.predict(xs(test), batch_size=args.batch, verbose=0)
+    met = eval_metrics(test["label"], p)
+    met["train_s"] = round(dt, 1)
+    met["examples_per_sec"] = round(args.epochs * len(train["label"]) / dt)
+    return met
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -324,9 +583,12 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--hidden", type=int, nargs="+", default=[256, 128, 64])
     ap.add_argument("--model", choices=["fm", "wide_deep", "deepfm",
-                                        "xdeepfm", "dcn", "autoint", "din"],
+                                        "xdeepfm", "dcn", "autoint", "din",
+                                        "dien", "dsin", "mmoe"],
                     default="deepfm")
     ap.add_argument("--seq-len", type=int, default=32)
+    ap.add_argument("--session-shape", type=int, nargs=2, default=[4, 8])
+    ap.add_argument("--aux-weight", type=float, default=1.0)
     ap.add_argument("--cin", type=int, nargs="+", default=[64, 64])
     ap.add_argument("--steps-per-call", type=int, default=8,
                     help="chained steps per dispatch (amortizes link latency)")
@@ -334,11 +596,17 @@ def main():
     ap.add_argument("--skip-ours", action="store_true")
     args = ap.parse_args()
 
-    if args.model == "din":
+    if args.model in ("din", "dien", "dsin"):
         from ml_function_tpu.features.synthetic import make_behavior_data
-        fs, data = make_behavior_data(n_rows=args.rows, n_items=args.vocab,
-                                      n_cates=max(args.vocab // 50, 10),
-                                      seq_len=args.seq_len)
+        fs, data = make_behavior_data(
+            n_rows=args.rows, n_items=args.vocab,
+            n_cates=max(args.vocab // 50, 10), seq_len=args.seq_len,
+            session_shape=(tuple(args.session_shape)
+                           if args.model == "dsin" else None))
+    elif args.model == "mmoe":
+        from ml_function_tpu.features.synthetic import make_cvr_data
+        fs, data = make_cvr_data(n_rows=args.rows, n_dense=4, n_sparse=8,
+                                 vocab_size=args.vocab)
     else:
         from ml_function_tpu.features.synthetic import make_criteo_like
         fs, data = make_criteo_like(n_rows=args.rows, vocab_size=args.vocab)
@@ -350,8 +618,10 @@ def main():
     if ours:
         print("ours:", json.dumps(ours), flush=True)
     if not args.skip_tf:
-        ref = (run_tf_din if args.model == "din" else run_tf)(
-            fs, train, test, args)
+        tf_fn = {"din": run_tf_din, "dien": run_tf_dien,
+                 "dsin": run_tf_dsin, "mmoe": run_tf_mmoe}.get(args.model,
+                                                               run_tf)
+        ref = tf_fn(fs, train, test, args)
         print("tf reference stack:", json.dumps(ref))
         if ours:
             print(f"dAUC = {ours['auc'] - ref['auc']:+.4f}  "
