@@ -545,7 +545,7 @@ def bench_walks(n_nodes: int = 20_000, n_edges: int = 200_000) -> float:
     return w.size / dt
 
 
-def run_board(steps: int):
+def run_board(steps: int, only=None):
     """The full bench board (VERDICT r2 #3): every row at current code, one
     command, one commit stamp. Writes markdown to .bench_board.md (stderr
     shows progress); PERF.md's board section is pasted from it."""
@@ -565,52 +565,76 @@ def run_board(steps: int):
         rows.append((metric, value, note))
         log(f"[board] {metric}: {value} {note}")
 
-    # interaction tier at per-model optimal batch
-    for name, hp in [("deepfm", {"hidden": HIDDEN}), ("xdeepfm", None),
-                     ("dlrm", None), ("fibinet", None)]:
-        b, eps = bench_model_best_batch(name, steps // 2, hp)
-        add(f"{name} train", f"{eps:,.0f} ex/s/chip", f"B={b}")
-    # multitask tier
-    eps = bench_model("mmoe", steps // 2, batch=32768)
-    add("mmoe train", f"{eps:,.0f} ex/s/chip", "B=32768")
-    # sequence tier
-    for name, kw in [
-        ("din", dict(batch=4096, seq_len=64)),
-        ("dien", dict(batch=4096, seq_len=64)),
-        ("dsin", dict(batch=2048, seq_len=64, session_shape=(8, 8),
-                      hp={"session_shape": (8, 8)})),
-        ("hpmn", dict(batch=2048, seq_len=64)),
-        ("mimn", dict(batch=1024, seq_len=64)),
-    ]:
-        eps = bench_seq_model(name, max(steps // 3, 4), **kw)
-        add(f"{name} train", f"{eps:,.0f} ex/s/chip",
-            f"B={kw['batch']}, L={kw['seq_len']}")
-    # lifelong tier: SIM end-to-end over a 16k-key long sequence; the ESU
-    # self-attention rides the Pallas flash kernel (flash='auto', Lk >= 512)
-    eps = bench_seq_model("sim", 4, batch=8, seq_len=64, long_seq=16384,
-                          hp={"search": "hard",
-                              "long_behavior": ("hist_long",)})
-    add("sim train (16k keys, flash ESU)", f"{eps:,.0f} ex/s/chip",
-        "B=8, L_long=16384")
-    # embedding store
-    med, spread = bench_lookup_tight()
-    add("embedding lookups", f"{med/1e6:,.0f}M ids/s/chip",
-        f"median of 5, spread {100*spread:.0f}%")
-    add("deepfm scoring", f"{bench_scoring()/1e6:,.2f}M ex/s/chip",
-        f"B={BATCH}")
-    # sparse-row optimizer crossover (Criteo scale + 26M-row production)
-    for v in (100_000, 1_000_000):
-        r = bench_sparse_path(v, steps=6)
-        total = v * N_SPARSE / 1e6
-        add(f"sparse-row vs dense update (V={total:.0f}M)",
-            f"{r['dense']*1e3:.1f} -> {r['sparse']*1e3:.1f} ms/step",
-            f"{r['dense']/r['sparse']:.2f}x")
-    add("native criteo loader", f"{bench_loader()/1e6:.2f}M rows/s", "host")
-    add("native deepwalk walks", f"{bench_walks()/1e6:.1f}M steps/s", "host")
+    def tier(key, fn):
+        if only and not any(o in key for o in only):
+            return
+        try:
+            fn()
+        except Exception as e:
+            add(f"{key} FAILED", f"{type(e).__name__}", str(e)[:120])
+
+    def interaction_tier():
+        for name, hp in [("deepfm", {"hidden": HIDDEN}), ("xdeepfm", None),
+                         ("dlrm", None), ("fibinet", None)]:
+            b, eps = bench_model_best_batch(name, steps // 2, hp)
+            add(f"{name} train", f"{eps:,.0f} ex/s/chip", f"B={b}")
+        eps = bench_model("mmoe", steps // 2, batch=32768)
+        add("mmoe train", f"{eps:,.0f} ex/s/chip", "B=32768")
+
+    def seq_tier():
+        for name, kw in [
+            ("din", dict(batch=4096, seq_len=64)),
+            ("dien", dict(batch=4096, seq_len=64)),
+            ("dsin", dict(batch=2048, seq_len=64, session_shape=(8, 8),
+                          hp={"session_shape": (8, 8)})),
+            ("hpmn", dict(batch=2048, seq_len=64)),
+            ("mimn", dict(batch=1024, seq_len=64)),
+        ]:
+            eps = bench_seq_model(name, max(steps // 3, 4), **kw)
+            add(f"{name} train", f"{eps:,.0f} ex/s/chip",
+                f"B={kw['batch']}, L={kw['seq_len']}")
+
+    def sim_tier():
+        # lifelong: SIM end-to-end over a 16k-key long sequence; the ESU
+        # self-attention rides the Pallas flash kernel (auto at Lk >= 512)
+        eps = bench_seq_model("sim", 4, batch=8, seq_len=64, long_seq=16384,
+                              hp={"search": "hard",
+                                  "long_behavior": ("hist_long",)})
+        add("sim train (16k keys, flash ESU)", f"{eps:,.0f} ex/s/chip",
+            "B=8, L_long=16384")
+
+    def store_tier():
+        med, spread = bench_lookup_tight()
+        add("embedding lookups", f"{med/1e6:,.0f}M ids/s/chip",
+            f"median of 5, spread {100*spread:.0f}%")
+        add("deepfm scoring", f"{bench_scoring()/1e6:,.2f}M ex/s/chip",
+            f"B={BATCH}")
+
+    def sparse_tier():
+        for v in (100_000, 1_000_000):
+            r = bench_sparse_path(v, steps=6)
+            total = v * N_SPARSE / 1e6
+            add(f"sparse-row vs dense update (V={total:.0f}M)",
+                f"{r['dense']*1e3:.1f} -> {r['sparse']*1e3:.1f} ms/step",
+                f"{r['dense']/r['sparse']:.2f}x")
+
+    def native_tier():
+        add("native criteo loader", f"{bench_loader()/1e6:.2f}M rows/s",
+            "host")
+        add("native deepwalk walks", f"{bench_walks()/1e6:.1f}M steps/s",
+            "host")
+
+    tier("interaction", interaction_tier)
+    tier("seq", seq_tier)
+    tier("sim", sim_tier)
+    tier("store", store_tier)
+    tier("sparse", sparse_tier)
+    tier("native", native_tier)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".bench_board.md")
-    with open(path, "w") as f:
+    mode = "a" if only else "w"  # --only appends partial reruns
+    with open(path, mode) as f:
         f.write(f"## Bench board — {stamp}, commit {commit}, v5e single "
                 f"chip (`python bench.py --board`)\n\n")
         f.write("| metric | value | config |\n|---|---|---|\n")
@@ -628,13 +652,17 @@ def main():
                     help="also bench xdeepfm/din + lookup rate (stderr)")
     ap.add_argument("--board", action="store_true",
                     help="full refreshed bench board -> .bench_board.md")
+    ap.add_argument("--only", type=str, default="",
+                    help="board: comma list of tiers (interaction,seq,sim,"
+                         "store,sparse,native)")
     args = ap.parse_args()
 
     if args.batch:
         global BATCH
         BATCH = args.batch
     if args.board:
-        run_board(args.steps)
+        run_board(args.steps,
+                  only=[t for t in args.only.split(",") if t] or None)
         return
     eps = bench_jax(args.steps)
     if args.all:

@@ -8,6 +8,7 @@ from .interaction import (AFM, DCN, DLRM, FFM, FNN, LR, NFM, PNN, AutoInt,
                           fnn_from_fm, xDeepFM)
 from .interaction_ext import (CCPM, FATDeepFFM, FGCNN, FiGNN, FLEN, MLR, OENN,
                               ONN)
+from .image import DICM
 from .longseq import DTS, HPMN, MIMN, SIM
 from .match import DSSM, DeepMCP
 from .multitask import ESMM, MMoE, PLE
@@ -52,6 +53,7 @@ MODEL_REGISTRY = {
     "mimn": MIMN,
     "sim": SIM,
     "hpmn": HPMN,
+    "dicm": DICM,
     "esmm": ESMM,
     "mmoe": MMoE,
     "ple": PLE,
@@ -66,7 +68,7 @@ def get_model(name: str, feature_set, **hp) -> Model:
     return ctor(feature_set, **hp)
 
 
-__all__ = ["Model", "MODEL_REGISTRY", "get_model", "LR", "FM", "FNN",
+__all__ = ["Model", "MODEL_REGISTRY", "get_model", "DICM", "LR", "FM", "FNN",
            "fnn_from_fm", "FFM", "FwFM", "PNN",
            "DeepCross", "WideDeep", "DeepFM", "DCN", "NFM", "xDeepFM", "AFM",
            "AutoInt", "FiBiNET", "DLRM", "CCPM", "FGCNN", "FLEN", "ONN",

@@ -137,10 +137,14 @@ def _bwd_dq_kernel(q_ref, kt_ref, vt_ref, bias_ref, lse_ref, do_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkv_kernel(q_ref, kt_ref, vt_ref, bias_ref, lse_ref, do_ref,
+def _bwd_dkv_kernel(qt_ref, kt_ref, vt_ref, bias_ref, lse_ref, dot_ref,
                     delta_ref, dk_ref, dv_ref, *, scale, causal):
+    """q/do arrive TRANSPOSED (Dh, Lq) like k/v: with Dh on sublanes the
+    full-sequence refs cost Dh·Lq·4 bytes of VMEM; the natural (Lq, Dh)
+    layout pads Dh=8 to 128 lanes, which at Lq=16384 is 8 MB PER ref and
+    kills the Mosaic compile (measured: remote-compile 500 at 16k·16k)."""
     dh = kt_ref.shape[0]
-    lq = q_ref.shape[0]
+    lq = qt_ref.shape[1]
     n_qb = lq // BLOCK_Q
     jk = pl.program_id(1)
 
@@ -150,12 +154,12 @@ def _bwd_dkv_kernel(q_ref, kt_ref, vt_ref, bias_ref, lse_ref, do_ref,
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[pl.ds(i * BLOCK_Q, BLOCK_Q), :]
-        do = do_ref[pl.ds(i * BLOCK_Q, BLOCK_Q), :]
-        lse = lse_ref[pl.ds(i * BLOCK_Q, BLOCK_Q), :]
-        delta = delta_ref[pl.ds(i * BLOCK_Q, BLOCK_Q), :]
+        qt = qt_ref[:, pl.ds(i * BLOCK_Q, BLOCK_Q)]       # (Dh, BQ)
+        dot_ = dot_ref[:, pl.ds(i * BLOCK_Q, BLOCK_Q)]    # (Dh, BQ)
+        lse = lse_ref[0, pl.ds(i * BLOCK_Q, BLOCK_Q)][:, None]
+        delta = delta_ref[0, pl.ds(i * BLOCK_Q, BLOCK_Q)][:, None]
         s = jax.lax.dot_general(
-            q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
+            qt, kt, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # (BQ, BK)
         s = s + bias
         if causal:
@@ -165,17 +169,17 @@ def _bwd_dkv_kernel(q_ref, kt_ref, vt_ref, bias_ref, lse_ref, do_ref,
                 jnp.int32, (BLOCK_Q, kt.shape[1]), 1))
             s = jnp.where(cols <= rows, s, NEG_INF)
         p = jnp.exp(s - lse)
-        # dV += Pᵀ dO  → (BK, Dh)
+        # dV += Pᵀ dO: (BK, BQ) · (BQ, Dh) via transposed refs → (BK, Dh)
         dv = dv + jax.lax.dot_general(
-            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            p, dot_, dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
-            do, vt, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dot_, vt, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (BQ, BK)
         ds = p * (dp - delta)
         # dK += dSᵀ q → (BK, Dh)
         dk = dk + jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            ds, qt, dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         return dk, dv
 
@@ -236,17 +240,18 @@ def _bwd_calls(q, kt, vt, bias, lse, do, delta, scale, causal):
         interpret=_interpret(),
     )(q, kt, vt, bias, lse, do, delta)
 
+    # q/do/lse/delta transposed so Dh sits on sublanes (see _bwd_dkv_kernel)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal),
         grid=(bh, lk // BLOCK_K),
         in_specs=[
-            pl.BlockSpec((None, lq, dh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, dh, lq), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((None, dh, BLOCK_K), lambda b, j: (b, 0, j)),
             pl.BlockSpec((None, dh, BLOCK_K), lambda b, j: (b, 0, j)),
             pl.BlockSpec((None, 1, BLOCK_K), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((None, lq, 1), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((None, lq, dh), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((None, lq, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, 1, lq), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, dh, lq), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, 1, lq), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, BLOCK_K, dh), lambda b, j: (b, j, 0)),
@@ -255,7 +260,8 @@ def _bwd_calls(q, kt, vt, bias, lse, do, delta, scale, causal):
         out_shape=[jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32),
                    jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32)],
         interpret=_interpret(),
-    )(q, kt, vt, bias, lse, do, delta)
+    )(q.transpose(0, 2, 1), kt, vt, bias, lse.transpose(0, 2, 1),
+      do.transpose(0, 2, 1), delta.transpose(0, 2, 1))
     return dq, dk, dv
 
 
