@@ -124,7 +124,11 @@ def bench_lookup_rate(steps: int = 50) -> float:
         def f(tab, lin_t):
             def body(i, t):
                 emb, lin = fe.sparse_all({"table": t, "linear": lin_t}, ids)
-                return t * (1.0 + 0.0 * jnp.sum(emb[0, 0]))
+                # real (non-foldable) dependence on the gather output — a
+                # 0.0 * sum multiplier gets constant-folded and the whole
+                # gather DCE'd (measured: a bogus 8e9 ids/s)
+                return t * (1.0 + 1e-30 * (jnp.sum(emb[0, 0])
+                                           + jnp.sum(lin[0])))
             return jax.lax.fori_loop(0, n, body, tab)
         import time as _t
         v = float(jnp.sum(f(params["table"], params["linear"])[0]))

@@ -191,8 +191,10 @@ class ShardedLookup:
             n = int(np.prod(global_ids.shape))
             cap = self.capacity or -(-n // m)
             body = partial(_a2a_lookup, capacity=cap, compress=self.compress)
-            # the closing all_gather replicates the output over `model`, but
-            # the static vma checker can't see through the a2a pipeline
+            # TODO(vma): the closing all_gather(tiled=True) replicates the
+            # output over `model`, but the static vma checker can't see
+            # through the a2a pipeline — re-enable once it can (correctness
+            # pinned by tests/test_parallel.py a2a-vs-dense equality).
             kwargs["check_vma"] = False
         elif self.mode == "psum":
             body = partial(_local_lookup, compress=self.compress)

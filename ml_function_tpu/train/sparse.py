@@ -102,7 +102,15 @@ class RowAdagrad:
                                 self.initial_accumulator, table.dtype)}
 
     def update(self, table, state, gids, grads):
-        sid, g, _ = dedup_sum(gids, grads)
+        sid, g, is_end = dedup_sum(gids, grads)
+        return self.apply_rows(table, state, sid, g, is_end)
+
+    def apply_rows(self, table, state, sid, g, upd_mask):
+        """Shard-local core: ``sid`` are LOCAL row indices (callers clip
+        unowned ids into range), ``g`` the dedup-summed grads, ``upd_mask``
+        marks the one live slot per (owned) row — masked slots contribute
+        exact zeros, so scatters over the full static N are safe."""
+        g = jnp.where(upd_mask[:, None], g, 0.0)
         g2 = jnp.mean(g * g, axis=-1, keepdims=True) if self.rowwise \
             else g * g
         acc_rows = jnp.take(state["acc"], sid, axis=0)
@@ -129,6 +137,10 @@ class RowAdam:
 
     def update(self, table, state, gids, grads):
         sid, g, is_end = dedup_sum(gids, grads)
+        return self.apply_rows(table, state, sid, g, is_end)
+
+    def apply_rows(self, table, state, sid, g, upd_mask):
+        """Shard-local core (see RowAdagrad.apply_rows)."""
         m_rows = jnp.take(state["m"], sid, axis=0)
         v_rows = jnp.take(state["v"], sid, axis=0)
         t_new = (jnp.take(state["t"], sid, axis=0) + 1).astype(jnp.float32)
@@ -137,7 +149,7 @@ class RowAdam:
         mhat = m_new / (1 - jnp.power(self.b1, t_new))[:, None]
         vhat = v_new / (1 - jnp.power(self.b2, t_new))[:, None]
         delta = -self.learning_rate * mhat / (jnp.sqrt(vhat) + self.eps)
-        mask = is_end[:, None]
+        mask = upd_mask[:, None]
         zero = jnp.zeros_like(delta)
         return (table.at[sid].add(jnp.where(mask, delta, zero)
                                   .astype(table.dtype)),
@@ -145,7 +157,7 @@ class RowAdam:
                     jnp.where(mask, m_new - m_rows, zero)),
                  "v": state["v"].at[sid].add(
                      jnp.where(mask, v_new - v_rows, zero)),
-                 "t": state["t"].at[sid].add(is_end.astype(jnp.int32))})
+                 "t": state["t"].at[sid].add(upd_mask.astype(jnp.int32))})
 
 
 def make_row_optimizer(name: str = "adagrad", learning_rate: float = 1e-2,

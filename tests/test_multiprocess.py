@@ -94,3 +94,45 @@ def test_two_process_train_checkpoint_resume(tmp_path):
     with open(tmp_path / "ckpt" / ckpts[0] / "manifest.json") as f:
         man = json.load(f)
     assert man["format"] == "sharded" and man["process_count"] == 2
+
+
+def test_two_process_cli_train_checkpoint_resume(tmp_path):
+    """The CLI end-to-end under 2 jax.distributed processes: synthetic
+    source, per-host batch slices, sharded checkpoint at the end, then a
+    SECOND 2-process invocation resumes from it (fast-forwarding the data
+    iterator) — the full multi-host operator workflow."""
+    port = _free_port()
+    ckpt = tmp_path / "ckpt"
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    base_env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+
+    args = ["--config.model.name=fm", "--config.data.n_rows=256",
+            "--config.data.vocab_size=13", "--config.train.batch_size=64",
+            "--config.mesh.model=2", "--config.train.log_every=0",
+            f"--config.train.checkpoint_dir={ckpt}"]
+
+    def run_once(port):
+        procs = []
+        for i in range(2):
+            env = dict(base_env,
+                       JAX_PLATFORMS="cpu",
+                       XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                       JAX_COORDINATOR=f"localhost:{port}",
+                       JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(i))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "ml_function_tpu.train.cli"] + args,
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+        for i, p in enumerate(procs):
+            assert p.returncode == 0, f"cli proc {i} failed:\n{outs[i]}"
+        return outs
+
+    run_once(port)
+    cks = sorted(os.listdir(ckpt))
+    assert len(cks) >= 1
+    files = sorted(os.listdir(ckpt / cks[-1]))
+    assert "shards_00000.npz" in files and "shards_00001.npz" in files
+
+    outs = run_once(_free_port())  # second run resumes from the checkpoint
+    assert any("resumed from" in o for o in outs), outs[0][-2000:]

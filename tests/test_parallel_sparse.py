@@ -1,0 +1,88 @@
+"""Sharded sparse-row optimizer (parallel/sparse.py): row-sharded tables +
+O(ids) updates, equal to the single-device sparse step (which is itself
+equal to dense optax — tests/test_sparse_optimizer.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ml_function_tpu.features.synthetic import (make_behavior_data,
+                                                make_criteo_like)
+from ml_function_tpu.models import get_model
+from ml_function_tpu.parallel.mesh import make_mesh
+from ml_function_tpu.parallel.sparse import (create_sparse_sharded_state,
+                                             make_sparse_sharded_train_step)
+from ml_function_tpu.parallel.train import shard_batch
+from ml_function_tpu.train.loop import iter_batches
+from ml_function_tpu.train.sparse import (RowAdagrad, RowAdam,
+                                          create_sparse_train_state,
+                                          make_sparse_train_step)
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return make_mesh(data=4, model=2)
+
+
+def _tree_allclose(a, b, atol=1e-5):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol,
+                                   rtol=1e-5)
+
+
+@pytest.mark.parametrize("row_opt", [RowAdagrad(0.05), RowAdam(1e-2)],
+                         ids=["adagrad", "adam"])
+def test_sharded_sparse_matches_single_device(mesh42, row_opt):
+    fs, data = make_criteo_like(n_rows=96, n_dense=2, n_sparse=4,
+                                vocab_size=11, embed_dim=4, seed=0)
+    model = get_model("deepfm", fs, hidden=(8,))
+    dense_opt = optax.adam(5e-3)
+
+    ts_s = create_sparse_train_state(model, jax.random.PRNGKey(0),
+                                     dense_opt, row_opt)
+    step_s = make_sparse_train_step(model, dense_opt, row_opt, donate=False)
+
+    ts_p = create_sparse_sharded_state(model, jax.random.PRNGKey(0),
+                                       dense_opt, row_opt, mesh42)
+    # table + moments row-sharded over 'model'
+    assert (ts_p.params["embedding"]["table"].sharding.spec
+            == jax.sharding.PartitionSpec("model", None))
+    for leaf in jax.tree_util.tree_leaves(ts_p.opt_state["rows"]):
+        assert "model" in str(leaf.sharding.spec)
+    step_p = make_sparse_sharded_train_step(model, dense_opt, row_opt,
+                                            mesh42, donate=False)
+
+    v = fs.total_vocab
+    for b in list(iter_batches(data, 32))[:3]:
+        ts_s, out_s = step_s(ts_s, b)
+        ts_p, out_p = step_p(ts_p, shard_batch(b, mesh42))
+        np.testing.assert_allclose(float(out_s["loss"]), float(out_p["loss"]),
+                                   rtol=1e-5)
+    for grp in ("table", "linear"):
+        np.testing.assert_allclose(
+            np.asarray(ts_p.params["embedding"][grp])[:v],
+            np.asarray(ts_s.params["embedding"][grp]), rtol=1e-4, atol=1e-5)
+    _tree_allclose({k: v for k, v in ts_s.params.items()
+                    if k != "embedding"},
+                   {k: v for k, v in ts_p.params.items()
+                    if k != "embedding"})
+
+
+def test_sharded_sparse_seq_model_runs_and_learns(mesh42):
+    fs, data = make_behavior_data(n_rows=512, n_items=30, n_cates=8,
+                                  seq_len=8, vocab_size=13, embed_dim=4,
+                                  seed=1)
+    model = get_model("din", fs, hidden=(16, 8))
+    row_opt = RowAdagrad(0.05)
+    dense_opt = optax.adam(5e-3)
+    ts = create_sparse_sharded_state(model, jax.random.PRNGKey(0), dense_opt,
+                                     row_opt, mesh42)
+    step = make_sparse_sharded_train_step(model, dense_opt, row_opt, mesh42)
+    losses = []
+    for epoch in range(3):
+        for b in iter_batches(data, 64, shuffle=True, seed=epoch):
+            ts, out = step(ts, shard_batch(b, mesh42))
+            losses.append(float(out["loss"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
