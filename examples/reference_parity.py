@@ -576,6 +576,10 @@ def _tf_fit_eval_seq(m, train, test, args):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. 'cpu' — the image's "
+                         "sitecustomize overrides the JAX_PLATFORMS env var, "
+                         "so use this flag to keep 'ours' off the TPU tunnel)")
     ap.add_argument("--rows", type=int, default=400_000)
     ap.add_argument("--vocab", type=int, default=10_000)
     ap.add_argument("--epochs", type=int, default=2)
@@ -595,6 +599,10 @@ def main():
     ap.add_argument("--skip-tf", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.model in ("din", "dien", "dsin"):
         from ml_function_tpu.features.synthetic import make_behavior_data

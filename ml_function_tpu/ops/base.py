@@ -55,7 +55,17 @@ def count_params(params: Params) -> int:
 
 
 def bf16_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
-    """MXU-friendly matmul: bf16 inputs, f32 accumulation."""
+    """MXU-friendly matmul: bf16 inputs, f32 accumulation.
+
+    ``ML_FUNCTION_TPU_F32_MATMUL=1`` keeps the inputs f32 — the numerics
+    A/B knob (e.g. attributing small AUC deltas to the bf16 cast; measured:
+    DeepFM/xDeepFM/DIN parity shows no bf16 cost, MMoE at tiny epoch
+    budgets shows ~+0.004 AUC for f32 — CONVERGENCE.md)."""
+    import os
+    if os.environ.get("ML_FUNCTION_TPU_F32_MATMUL") == "1":
+        return jax.lax.dot_general(
+            x, w, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return jax.lax.dot_general(
         x.astype(jnp.bfloat16),
         w.astype(jnp.bfloat16),
