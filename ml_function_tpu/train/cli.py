@@ -109,8 +109,17 @@ def run(cfg: Config) -> dict:
 
     mesh = make_mesh(data=cfg.mesh.data or None, model=cfg.mesh.model)
     opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
-    ts = create_sharded_state(model, jax.random.PRNGKey(cfg.train.seed), opt,
-                              mesh)
+    row_opt = None
+    if cfg.train.row_optimizer:
+        from ..train.sparse import make_row_optimizer
+        row_opt = make_row_optimizer(cfg.train.row_optimizer,
+                                     cfg.train.row_learning_rate)
+        from ..parallel.sparse import create_sparse_sharded_state
+        ts = create_sparse_sharded_state(
+            model, jax.random.PRNGKey(cfg.train.seed), opt, row_opt, mesh)
+    else:
+        ts = create_sharded_state(model, jax.random.PRNGKey(cfg.train.seed),
+                                  opt, mesh)
 
     start_step = 0
     if cfg.train.checkpoint_dir:
@@ -121,9 +130,14 @@ def run(cfg: Config) -> dict:
             print(f"resumed from {ck} at step {start_step}", file=sys.stderr)
 
     compress = cfg.mesh.compress or None
-    train_step = make_sharded_train_step(model, opt, mesh,
-                                         exchange=cfg.mesh.exchange,
-                                         compress=compress)
+    if row_opt is not None:
+        from ..parallel.sparse import make_sparse_sharded_train_step
+        train_step = make_sparse_sharded_train_step(
+            model, opt, row_opt, mesh, exchange=cfg.mesh.exchange)
+    else:
+        train_step = make_sharded_train_step(model, opt, mesh,
+                                             exchange=cfg.mesh.exchange,
+                                             compress=compress)
     eval_step = make_sharded_eval_step(model, mesh,
                                        exchange=cfg.mesh.exchange,
                                        compress=compress)

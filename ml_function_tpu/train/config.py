@@ -61,7 +61,11 @@ class TrainConfig:
     batch_size: int = 4096
     epochs: int = 1
     learning_rate: float = 1e-3
-    optimizer: str = "adam"            # adam | adagrad | sgd
+    optimizer: str = "adam"            # adam | adagrad | sgd (dense params)
+    # '' = dense full-table updates; 'adagrad' | 'adam' = sparse-row path
+    # (parallel/sparse.py): row-sharded tables with O(ids/step) updates
+    row_optimizer: str = ""
+    row_learning_rate: float = 1e-2
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0          # steps; 0 → end of training only

@@ -46,3 +46,19 @@ def test_cli_stream_source(tmp_path):
     assert res["steps"] == 600 // 64
     assert np.isfinite(res["train"]["logloss"])
     assert res["eval"]["count"] == 128
+
+
+def test_cli_sparse_row_optimizer():
+    """--config.train.row_optimizer routes training through the sharded
+    sparse-row path (parallel/sparse.py) end-to-end."""
+    res = main([
+        "--config.model.name=deepfm", "--config.model.hidden=(16,8)",
+        "--config.data.n_rows=512", "--config.data.vocab_size=50",
+        "--config.train.batch_size=64", "--config.train.log_every=0",
+        "--config.train.row_optimizer=adagrad",
+        "--config.train.row_learning_rate=0.05",
+        "--config.mesh.model=2", "--config.train.epochs=2",
+    ])
+    assert res["steps"] > 0
+    assert np.isfinite(res["train"]["logloss"])
+    assert res["eval"]["count"] > 0
