@@ -625,8 +625,8 @@ def run_board(steps: int, only=None):
     def native_tier():
         add("native criteo loader", f"{bench_loader()/1e6:.2f}M rows/s",
             "host")
-        add("native deepwalk walks", f"{bench_walks()/1e6:.1f}M steps/s",
-            "host")
+        add("native node2vec walks", f"{bench_walks()/1e6:.1f}M steps/s",
+            "host (deepwalk rate on stderr)")
 
     tier("interaction", interaction_tier)
     tier("seq", seq_tier)
