@@ -126,6 +126,14 @@ def run(cfg: Config) -> dict:
         ck = latest_checkpoint(cfg.train.checkpoint_dir)
         if ck:
             ts, extra = restore_checkpoint(ck, ts)
+            saved_fp = extra.get("fs_fingerprint")
+            if saved_fp and saved_fp != fs.fingerprint:
+                raise ValueError(
+                    f"checkpoint {ck} was written for a different table "
+                    f"layout (fingerprint {saved_fp} != current "
+                    f"{fs.fingerprint}); restoring would silently permute "
+                    "vocab rows — rebuild the FeatureSet (same planner "
+                    "layout) or start a fresh checkpoint_dir")
             start_step = int(jax.device_get(ts.step))
             print(f"resumed from {ck} at step {start_step}", file=sys.stderr)
 
@@ -175,7 +183,8 @@ def run(cfg: Config) -> dict:
             if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
                     and step_i % cfg.train.checkpoint_every == 0):
                 save_checkpoint(cfg.train.checkpoint_dir, ts,
-                                extra={"config": cfg.to_json()})
+                                extra={"config": cfg.to_json(),
+                                       "fs_fingerprint": fs.fingerprint})
     jax.block_until_ready(ts.params)
     dt = (time.perf_counter() - t0) if t0 else 0.0
 
@@ -184,7 +193,8 @@ def run(cfg: Config) -> dict:
 
     if cfg.train.checkpoint_dir:
         save_checkpoint(cfg.train.checkpoint_dir, ts,
-                        extra={"config": cfg.to_json()})
+                        extra={"config": cfg.to_json(),
+                               "fs_fingerprint": fs.fingerprint})
 
     em = init_metrics()
     if test_data is not None:

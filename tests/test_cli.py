@@ -62,3 +62,35 @@ def test_cli_sparse_row_optimizer():
     assert res["steps"] > 0
     assert np.isfinite(res["train"]["logloss"])
     assert res["eval"]["count"] > 0
+
+
+def test_cli_checkpoint_rejects_layout_mismatch(tmp_path):
+    """A checkpoint written for one table layout must fail LOUDLY when
+    resumed into a differently-planned FeatureSet (fingerprint stamp)."""
+    import pytest
+
+    import json
+    import os
+
+    args = ["--config.model.name=fm", "--config.data.n_rows=256",
+            "--config.data.vocab_size=50", "--config.train.batch_size=64",
+            "--config.train.log_every=0",
+            f"--config.train.checkpoint_dir={tmp_path}"]
+    main(args)
+    # a same-total-rows LAYOUT permutation changes the fingerprint but not
+    # any array shape — the case the shape check cannot catch
+    from ml_function_tpu.features.schema import FeatureSet, SparseSpec
+    a = FeatureSet(sparse=(SparseSpec("x", 10, dim=4),
+                           SparseSpec("y", 20, dim=4)))
+    b = a.replace(vocab_layout=(("y", 0), ("x", 20)))  # same rows, permuted
+    assert a.total_vocab == b.total_vocab
+    assert a.fingerprint != b.fingerprint
+
+    # simulate exactly that: same shapes, stamped fingerprint differs
+    ck = sorted(os.listdir(tmp_path))[-1]
+    man_path = tmp_path / ck / "manifest.json"
+    man = json.loads(man_path.read_text())
+    man["extra"]["fs_fingerprint"] = "deadbeefdeadbeef"
+    man_path.write_text(json.dumps(man))
+    with pytest.raises(ValueError, match="different table layout"):
+        main(args)
