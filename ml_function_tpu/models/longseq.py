@@ -306,7 +306,9 @@ def SIM(fs: FeatureSet,
                       for n in candidate}
     long_score_cols = [cand_vocab_col.get(fs.seq_spec(n).vocab)
                        for n in long_behavior]
-    if any(c is None for c in long_score_cols):
+    if search == "soft" and any(c is None for c in long_score_cols):
+        # hard search never computes the raw-space scores, so mismatched
+        # vocabs are fine there (pre-filtering happened in data prep)
         raise ValueError(
             f"every long_behavior field must share a vocab with a candidate "
             f"field for soft search (long vocabs "

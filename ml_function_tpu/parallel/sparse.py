@@ -30,10 +30,9 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.base import Model
-from ..ops.embedding import RowTape, row_tape
-from ..train.loop import TrainState, loss_fn
-from ..train.sparse import dedup_sum
-from .embedding import ShardedLookup, rows_per_shard
+from ..train.loop import TrainState
+from ..train.sparse import dedup_sum, sparse_step_core
+from .embedding import ShardedLookup
 from .mesh import DATA_AXIS, MODEL_AXIS
 from .train import create_sharded_state
 
@@ -73,8 +72,10 @@ def create_sparse_sharded_state(model: Model, rng, dense_opt, row_opt,
 
 def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
                                    mesh: Mesh, donate: bool = True,
-                                   exchange: str = "psum") -> Callable:
+                                   exchange: str = "psum",
+                                   compress=None) -> Callable:
     fs = model.feature_set
+    sl = ShardedLookup(mesh, fs, mode=exchange, compress=compress)
 
     def _row_update(table, state, gids, grads):
         """shard_map body: table/state (local rows block), gids/grads (local
@@ -93,47 +94,15 @@ def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
         return new_table, new_state
 
     def train_step(ts: TrainState, batch):
-        rng, step_rng = jax.random.split(ts.rng)
+        # shared record → collective gather → inject → grad → dense update
+        out, rng, new_params, dense_state, per_group = sparse_step_core(
+            model, dense_opt, ts, batch,
+            lambda group, table, gids: sl.lookup(table, gids))
+
         emb = ts.params.get("embedding", {})
-        dense_tree = dict(ts.params)
-        dense_tree["embedding"] = {}
-
-        # 1) record ids (trace-only; collectives never run in the dead pass)
-        rec = RowTape("record")
-        with row_tape(rec):
-            model.apply(dense_tree, ts.model_state, batch, train=True,
-                        rng=step_rng)
-
-        # 2) collective gather of the touched rows, outside the loss
-        sl = ShardedLookup(mesh, fs, mode=exchange)
-        rows_in = [sl.lookup(emb[g], gid) for g, gid in rec.records]
-
-        # 3) grads w.r.t. dense params + gathered rows
-        def loss_with(dtree, rows_list):
-            tape = RowTape("inject", rows_list)
-            with row_tape(tape):
-                return loss_fn(model, dtree, ts.model_state, batch, step_rng)
-
-        grad_fn = jax.value_and_grad(loss_with, argnums=(0, 1), has_aux=True)
-        ((total, (logits, new_state, aux, bce)),
-         (g_dense, g_rows)) = grad_fn(dense_tree, rows_in)
-
-        # 4) dense update (replicated params; grads all-reduce via GSPMD)
-        upd, dense_state = dense_opt.update(g_dense, ts.opt_state["dense"],
-                                            dense_tree)
-        new_params = optax.apply_updates(dense_tree, upd)
-
-        # 5) sharded sparse row updates per column group
         new_emb = dict(emb)
         row_states = dict(ts.opt_state["rows"])
-        for g in emb:
-            gids = [gid.reshape(-1)
-                    for (grp, gid) in rec.records if grp == g]
-            grads = [gr.reshape(-1, emb[g].shape[1])
-                     for (grp, _), gr in zip(rec.records, g_rows)
-                     if grp == g]
-            if not gids:
-                continue
+        for g, (gids, grads) in per_group.items():
             state_specs = jax.tree_util.tree_map(
                 lambda x: P(MODEL_AXIS, None) if x.ndim >= 2
                 else P(MODEL_AXIS), row_states[g])
@@ -150,17 +119,16 @@ def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
                 out_specs=(P(MODEL_AXIS, None), state_specs),
                 check_vma=False,
             )
-            new_emb[g], row_states[g] = fn(
-                emb[g], row_states[g], jnp.concatenate(gids),
-                jnp.concatenate(grads))
+            new_emb[g], row_states[g] = fn(emb[g], row_states[g], gids,
+                                           grads)
         new_params = dict(new_params)
         new_params["embedding"] = new_emb
 
         new_ts = TrainState(params=new_params,
                             opt_state={"dense": dense_state,
                                        "rows": row_states},
-                            model_state=new_state, step=ts.step + 1, rng=rng)
-        return new_ts, {"loss": total, "bce": bce, "logits": logits,
-                        "label": batch["label"]}
+                            model_state=out.pop("model_state"),
+                            step=ts.step + 1, rng=rng)
+        return new_ts, out
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

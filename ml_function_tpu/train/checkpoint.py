@@ -221,38 +221,48 @@ def restore_checkpoint(path: str, ts_template: TrainState
 
 
 def _restore_sharded(path: str, manifest: Dict, tree) -> TrainState:
-    """Per-device reassembly: every process reads the shard files (shared
-    filesystem / object store) and places, for each leaf, exactly the blocks
-    its local devices own under the TEMPLATE's sharding. Saved blocks that
-    match the template's shard grid are placed directly; a differing grid is
-    host-stitched from the covering blocks (per local device, so a
-    same-grid multi-process restore never materializes a full table)."""
-    blocks: Dict[str, Dict[str, np.ndarray]] = {}
-    for f in sorted(glob.glob(os.path.join(path, "shards_*.npz"))):
-        for name, arr in np.load(f, allow_pickle=False).items():
+    """Per-device reassembly: every process indexes the shard files (shared
+    filesystem / object store) but DECOMPRESSES only the blocks its local
+    devices own under the TEMPLATE's sharding (NpzFile members are lazy) —
+    a same-grid multi-process restore never materializes a full table on
+    any host. Saved blocks that match the template's shard grid are placed
+    directly; a differing grid host-stitches just the affected leaf."""
+    # lazy index: (key, span) -> (NpzFile, member name); nothing is read yet
+    files = [np.load(f, allow_pickle=False)
+             for f in sorted(glob.glob(os.path.join(path, "shards_*.npz")))]
+    index: Dict[str, Dict[str, Tuple] ] = {}
+    for npz in files:
+        for name in npz.files:
             key, span = name.rsplit("::", 1)
-            blocks.setdefault(key, {})[span] = arr
+            index.setdefault(key, {})[span] = (npz, name)
 
     shapes = manifest["shapes"]
 
+    def load(key, span):
+        npz, name = index[key][span]
+        return npz[name]
+
     def restore_leaf(key: str, old):
-        if key not in blocks:
+        if key not in index:
             raise KeyError(f"checkpoint missing key {key!r}")
         shape = tuple(shapes[key])
         if hasattr(old, "shape") and tuple(old.shape) != shape:
             raise ValueError(f"shape mismatch for {key!r}: checkpoint "
                              f"{shape} vs template {old.shape}")
-        saved = blocks[key]
+        spans = index[key]
         sharding = getattr(old, "sharding", None)
         if sharding is None or not isinstance(old, jax.Array):
-            return jax.device_put(_stitch(saved, shape, key))
+            return jax.device_put(_stitch(spans, load, shape, key))
         per_dev = []
+        stitched = None  # built at most once per leaf (topology change)
         for dev, idx in sharding.addressable_devices_indices_map(shape).items():
             span = _span_key(idx, shape)
-            if span in saved:
-                block = saved[span]
-            else:  # topology changed: stitch this device's block only
-                block = _stitch(saved, shape, key)[_span_slices(span)]
+            if span in spans:
+                block = load(key, span)
+            else:  # topology changed: stitch this leaf, slice per device
+                if stitched is None:
+                    stitched = _stitch(spans, load, shape, key)
+                block = stitched[_span_slices(span)]
             per_dev.append(jax.device_put(block, dev))
         return jax.make_array_from_single_device_arrays(
             shape, sharding, per_dev)
@@ -265,16 +275,18 @@ def _restore_sharded(path: str, manifest: Dict, tree) -> TrainState:
                       rng=placed["rng"])
 
 
-def _stitch(saved: Dict[str, np.ndarray], shape: Tuple[int, ...],
+def _stitch(spans: Dict[str, Tuple], load, shape: Tuple[int, ...],
             key: str) -> np.ndarray:
-    """Assemble the full host array from saved blocks (dense fallback)."""
-    if "scalar" in saved:
-        return saved["scalar"]
+    """Assemble the full host array from saved blocks (dense fallback —
+    only for unsharded templates or changed topologies)."""
+    if "scalar" in spans:
+        return load(key, "scalar")
     full_span = _span_key(tuple(slice(0, d) for d in shape), shape)
-    if full_span in saved:
-        return saved[full_span]
+    if full_span in spans:
+        return load(key, full_span)
     out = None
-    for span, arr in saved.items():
+    for span in spans:
+        arr = load(key, span)
         if out is None:
             out = np.zeros(shape, arr.dtype)
         out[_span_slices(span)] = arr

@@ -141,7 +141,8 @@ def run(cfg: Config) -> dict:
     if row_opt is not None:
         from ..parallel.sparse import make_sparse_sharded_train_step
         train_step = make_sparse_sharded_train_step(
-            model, opt, row_opt, mesh, exchange=cfg.mesh.exchange)
+            model, opt, row_opt, mesh, exchange=cfg.mesh.exchange,
+            compress=compress)
     else:
         train_step = make_sharded_train_step(model, opt, mesh,
                                              exchange=cfg.mesh.exchange,

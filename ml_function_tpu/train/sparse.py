@@ -120,12 +120,17 @@ class RowAdagrad:
         """Shard-local core: ``sid`` are LOCAL row indices (callers clip
         unowned ids into range), ``g`` the dedup-summed grads, ``upd_mask``
         marks the one live slot per (owned) row — masked slots contribute
-        exact zeros, so scatters over the full static N are safe."""
+        exact zeros, so scatters over the full static N are safe.
+
+        Update formula mirrors ``optax.scale_by_rss`` EXACTLY (eps inside
+        the rsqrt, zero-denominator guard): g · rsqrt(acc + g² + eps) when
+        acc + g² > 0, else 0."""
         g = jnp.where(upd_mask[:, None], g, 0.0)
         g2 = jnp.mean(g * g, axis=-1, keepdims=True) if self.rowwise \
             else g * g
-        acc_rows = jnp.take(state["acc"], sid, axis=0)
-        delta = -self.learning_rate * g / (jnp.sqrt(acc_rows + g2) + self.eps)
+        acc_rows = jnp.take(state["acc"], sid, axis=0) + g2
+        inv = jnp.where(acc_rows > 0, jax.lax.rsqrt(acc_rows + self.eps), 0.0)
+        delta = -self.learning_rate * g * inv
         return (table.at[sid].add(delta.astype(table.dtype)),
                 {"acc": state["acc"].at[sid].add(g2)})
 
@@ -206,6 +211,65 @@ def create_sparse_train_state(model: Model, rng, dense_opt, row_opt
     )
 
 
+def sparse_step_core(model: Model, dense_opt, ts: TrainState, batch,
+                     gather_fn) -> Tuple[Dict, Any, Dict, Any]:
+    """Shared record → gather → inject → grad → dense-update scaffolding
+    for both the single-device and the sharded sparse steps.
+
+    ``gather_fn(group, table, global_ids) -> (*ids.shape, W) rows`` — plain
+    take on the single-device path, the collective exchange on the sharded
+    path. Returns ``(out_dict, rng, new_dense_params_with_empty_embedding,
+    dense_state, per_group (ids, grads) lists)``."""
+    rng, step_rng = jax.random.split(ts.rng)
+    emb = ts.params.get("embedding", {})
+    dense_tree = dict(ts.params)
+    dense_tree["embedding"] = {}
+
+    # 1) record the lookup ids (forward is dead code except id exprs)
+    rec = RowTape("record")
+    try:
+        with row_tape(rec):
+            model.apply(dense_tree, ts.model_state, batch, train=True,
+                        rng=step_rng)
+    except KeyError as e:
+        raise ValueError(
+            f"model {model.name!r} reads embedding params outside "
+            f"FusedEmbedding lookups (missing key {e}); the sparse-row "
+            "path supports FusedEmbedding-only tables — use the dense "
+            "path for this model") from None
+
+    # 2) gather the touched rows outside the loss
+    rows_in = [gather_fn(g, emb[g], gid) for g, gid in rec.records]
+
+    # 3) grads w.r.t. dense params AND the gathered rows
+    def loss_with(dtree, rows_list):
+        tape = RowTape("inject", rows_list)
+        with row_tape(tape):
+            return loss_fn(model, dtree, ts.model_state, batch, step_rng)
+
+    grad_fn = jax.value_and_grad(loss_with, argnums=(0, 1), has_aux=True)
+    ((total, (logits, new_state, aux, bce)),
+     (g_dense, g_rows)) = grad_fn(dense_tree, rows_in)
+
+    # 4) dense update (optax)
+    upd, dense_state = dense_opt.update(g_dense, ts.opt_state["dense"],
+                                        dense_tree)
+    new_dense = optax.apply_updates(dense_tree, upd)
+
+    # 5) regroup (ids, grads) per column group for the row update stage
+    per_group = {}
+    for g in emb:
+        gids = [gid.reshape(-1) for (grp, gid) in rec.records if grp == g]
+        grads = [gr.reshape(-1, emb[g].shape[1])
+                 for (grp, _), gr in zip(rec.records, g_rows) if grp == g]
+        if gids:
+            per_group[g] = (jnp.concatenate(gids), jnp.concatenate(grads))
+
+    out = {"loss": total, "bce": bce, "logits": logits,
+           "label": batch["label"], "model_state": new_state}
+    return out, rng, new_dense, dense_state, per_group
+
+
 def make_sparse_train_step(model: Model, dense_opt, row_opt,
                            donate: bool = True) -> Callable:
     """Train step with sparse row updates for the FusedEmbedding tables and
@@ -213,67 +277,27 @@ def make_sparse_train_step(model: Model, dense_opt, row_opt,
     ``optimizers.embedding_partitioned``). Donation lets XLA alias the table
     buffers, so the row scatter updates in place."""
 
+    def gather(group, table, gids):
+        return jnp.take(table, gids.reshape(-1), axis=0).reshape(
+            gids.shape + (table.shape[1],))
+
     def train_step(ts: TrainState, batch) -> Tuple[TrainState, Dict]:
-        rng, step_rng = jax.random.split(ts.rng)
+        out, rng, new_params, dense_state, per_group = sparse_step_core(
+            model, dense_opt, ts, batch, gather)
         emb = ts.params.get("embedding", {})
-        dense_tree = dict(ts.params)
-        dense_tree["embedding"] = {}
-
-        # 1) record the lookup ids (forward is dead code except id exprs)
-        rec = RowTape("record")
-        try:
-            with row_tape(rec):
-                model.apply(dense_tree, ts.model_state, batch, train=True,
-                            rng=step_rng)
-        except KeyError as e:
-            raise ValueError(
-                f"model {model.name!r} reads embedding params outside "
-                f"FusedEmbedding lookups (missing key {e}); the sparse-row "
-                "path supports FusedEmbedding-only tables — use the dense "
-                "path (train.loop) for this model") from None
-
-        # 2) gather the touched rows outside the loss
-        rows_in = [jnp.take(emb[g], gid.reshape(-1), axis=0)
-                   .reshape(gid.shape + (emb[g].shape[1],))
-                   for g, gid in rec.records]
-
-        # 3) grads w.r.t. dense params AND the gathered rows
-        def loss_with(dtree, rows_list):
-            tape = RowTape("inject", rows_list)
-            with row_tape(tape):
-                return loss_fn(model, dtree, ts.model_state, batch, step_rng)
-
-        grad_fn = jax.value_and_grad(loss_with, argnums=(0, 1), has_aux=True)
-        ((total, (logits, new_state, aux, bce)),
-         (g_dense, g_rows)) = grad_fn(dense_tree, rows_in)
-
-        # 4) dense update (optax)
-        upd, dense_state = dense_opt.update(g_dense, ts.opt_state["dense"],
-                                            dense_tree)
-        new_params = optax.apply_updates(dense_tree, upd)
-
-        # 5) sparse row updates, one per column group
         new_emb = dict(emb)
         row_states = dict(ts.opt_state["rows"])
-        for g in emb:
-            gids = [gid.reshape(-1)
-                    for (grp, gid) in rec.records if grp == g]
-            grads = [gr.reshape(-1, emb[g].shape[1])
-                     for (grp, _), gr in zip(rec.records, g_rows)
-                     if grp == g]
-            if not gids:
-                continue
+        for g, (gids, grads) in per_group.items():
             new_emb[g], row_states[g] = row_opt.update(
-                emb[g], row_states[g], jnp.concatenate(gids),
-                jnp.concatenate(grads))
+                emb[g], row_states[g], gids, grads)
         new_params = dict(new_params)
         new_params["embedding"] = new_emb
 
         new_ts = TrainState(params=new_params,
                             opt_state={"dense": dense_state,
                                        "rows": row_states},
-                            model_state=new_state, step=ts.step + 1, rng=rng)
-        return new_ts, {"loss": total, "bce": bce, "logits": logits,
-                        "label": batch["label"]}
+                            model_state=out.pop("model_state"),
+                            step=ts.step + 1, rng=rng)
+        return new_ts, out
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

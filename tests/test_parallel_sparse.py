@@ -86,3 +86,42 @@ def test_sharded_sparse_seq_model_runs_and_learns(mesh42):
             ts, out = step(ts, shard_batch(b, mesh42))
             losses.append(float(out["loss"]))
     assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+
+def test_sharded_sparse_rejects_aux_table_models(mesh42):
+    """The sharded path shares the single-device path's actionable error for
+    models with tables outside FusedEmbedding (code-review r3 finding)."""
+    fs, data = make_criteo_like(n_rows=32, n_dense=0, n_sparse=3,
+                                vocab_size=9, embed_dim=4, seed=5)
+    model = get_model("ffm", fs)
+    row_opt = RowAdagrad()
+    ts = create_sparse_sharded_state(model, jax.random.PRNGKey(0),
+                                     optax.adagrad(0.1), row_opt, mesh42)
+    step = make_sparse_sharded_train_step(model, optax.adagrad(0.1), row_opt,
+                                          mesh42, donate=False)
+    with pytest.raises(ValueError, match="sparse-row path"):
+        step(ts, shard_batch(next(iter_batches(data, 32)), mesh42))
+
+
+def test_sharded_sparse_with_bf16_compress(mesh42):
+    """compress='bf16' reaches the collective gather on the sparse path
+    (code-review r3: CLI silently dropped it)."""
+    fs, data = make_criteo_like(n_rows=64, n_dense=2, n_sparse=4,
+                                vocab_size=11, embed_dim=4, seed=0)
+    model = get_model("fm", fs)
+    row_opt = RowAdagrad(0.05)
+    ts = create_sparse_sharded_state(model, jax.random.PRNGKey(0),
+                                     optax.adam(5e-3), row_opt, mesh42)
+    step = make_sparse_sharded_train_step(model, optax.adam(5e-3), row_opt,
+                                          mesh42, donate=False,
+                                          compress="bf16")
+    ts_x = create_sparse_sharded_state(model, jax.random.PRNGKey(0),
+                                       optax.adam(5e-3), row_opt, mesh42)
+    step_x = make_sparse_sharded_train_step(model, optax.adam(5e-3), row_opt,
+                                            mesh42, donate=False)
+    b = shard_batch(next(iter_batches(data, 32)), mesh42)
+    _, out = step(ts, b)
+    _, out_x = step_x(ts_x, b)
+    # bf16 payload cast: close to the exact exchange, not equal
+    np.testing.assert_allclose(float(out["loss"]), float(out_x["loss"]),
+                               rtol=5e-2)
