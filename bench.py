@@ -611,8 +611,15 @@ def run_board(steps: int, only=None):
         med, spread = bench_lookup_tight()
         add("embedding lookups", f"{med/1e6:,.0f}M ids/s/chip",
             f"median of 5, spread {100*spread:.0f}%")
-        add("deepfm scoring", f"{bench_scoring()/1e6:,.2f}M ex/s/chip",
-            f"B={BATCH}")
+        global BATCH
+        b_prev, BATCH = BATCH, 8192  # measured scoring optimum (PERF.md:
+        # 8192: 2.96M · 16384: 1.69M · 32768: 1.73M ex/s — inference is
+        # gather-latency-bound, not scatter-amortization-bound like training)
+        try:
+            add("deepfm scoring", f"{bench_scoring()/1e6:,.2f}M ex/s/chip",
+                f"B={BATCH}")
+        finally:
+            BATCH = b_prev
 
     def sparse_tier():
         for v in (100_000, 1_000_000):
