@@ -30,7 +30,7 @@ import pytest
 # ---------------------------------------------------------------------------
 # fast/slow split: the full suite takes ~14 min on this 2-CPU host (scan/jit
 # compiles dominate); the default run (`pytest -q`) excludes the heavy
-# compile tests below and finishes in <5 min. Run EVERYTHING with
+# compile tests below and finishes in ~6 min. Run EVERYTHING with
 # `pytest -m ""` (CI note in README). Centralized here so the split is one
 # list, not scattered decorators.
 # ---------------------------------------------------------------------------
@@ -61,6 +61,18 @@ _SLOW_NODEIDS = (
     # cold-start meta-objective (mechanics tests stay in default)
     "test_models_coldstart.py::test_meta_training_reduces_meta_loss",
     "test_models_coldstart.py::test_override_changes_forward_and_grads_flow",
+    # r3 additions: deep-coverage variants (each path keeps a default-tier
+    # smoke: the 2-process train drill, sharded-sparse adagrad equality,
+    # DICM forward/grad, CLI sparse run)
+    "test_multiprocess.py::test_two_process_cli_train_checkpoint_resume",
+    "test_multiprocess.py::test_two_process_sparse_row_path",
+    "test_models_image.py::test_dicm_learns_visual_signal",
+    "test_parallel_sparse.py::test_sharded_sparse_matches_single_device[adam]",
+    "test_parallel_sparse.py::test_sharded_sparse_with_bf16_compress",
+    "test_sparse_optimizer.py::test_sparse_rowwise_adagrad_single_accumulator_learns",
+    "test_sparse_optimizer.py::test_sparse_step_supports_sequence_models",
+    "test_cli.py::test_cli_checkpoint_rejects_layout_mismatch",
+    "test_models_sequence.py::test_dssm_towers_and_retrieval",
     # interaction fwd/grad matrix: heavy graphs (goldens + learns + the
     # cheap half of the matrix stay in default)
     "test_models_interaction.py::test_model_forward_and_grad[fignn]",

@@ -136,3 +136,54 @@ def test_two_process_cli_train_checkpoint_resume(tmp_path):
 
     outs = run_once(_free_port())  # second run resumes from the checkpoint
     assert any("resumed from" in o for o in outs), outs[0][-2000:]
+
+
+def test_two_process_sparse_row_path(tmp_path):
+    """The sharded sparse-row optimizer under 2 real jax.distributed
+    processes: distributed moments, train, per-process sharded checkpoint of
+    the sparse opt state, restore, resume — matching the single-process
+    sharded sparse run."""
+    import optax
+
+    from ml_function_tpu.parallel.sparse import (
+        create_sparse_sharded_state, make_sparse_sharded_train_step)
+    from ml_function_tpu.train.sparse import RowAdagrad
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multiproc_sparse_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"sparse worker {i} failed:\n{outs[i]}"
+    results = []
+    for i in range(2):
+        with open(tmp_path / f"result_{i}.json") as f:
+            results.append(json.load(f))
+    assert results[0] == results[1]
+
+    # single-process reference (same seed/batches/mesh shape)
+    fs, data = make_criteo_like(n_rows=256, n_dense=2, n_sparse=4,
+                                vocab_size=13, embed_dim=4, seed=0)
+    model = get_model("fm", fs)
+    row_opt = RowAdagrad(0.05)
+    dense_opt = optax.adam(1e-2)
+    mesh = make_mesh(data=4, model=2)
+    ts = create_sparse_sharded_state(model, jax.random.PRNGKey(0), dense_opt,
+                                     row_opt, mesh)
+    step = make_sparse_sharded_train_step(model, dense_opt, row_opt, mesh,
+                                          donate=False)
+    losses = []
+    for b in list(iter_batches(data, 64))[:4]:
+        ts, out = step(ts, shard_batch(b, mesh))
+        losses.append(float(out["loss"]))
+    np.testing.assert_allclose(results[0]["losses"], losses, rtol=1e-5)
+    checksum = float(sum(np.sum(np.abs(np.asarray(l)))
+                         for l in jax.tree_util.tree_leaves(ts.params)))
+    np.testing.assert_allclose(results[0]["checksum"], checksum, rtol=1e-5)
