@@ -20,11 +20,30 @@ def main():
     ap.add_argument("--rows", type=int, default=20_000)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--exchange", default="psum", choices=["psum", "a2a"],
+                    help="embedding lookup exchange (parallel/embedding.py)")
+    ap.add_argument("--compress", default="", choices=["", "bf16"],
+                    help="bf16 ICI row-payload compression")
+    ap.add_argument("--plan", action="store_true",
+                    help="balance the table layout with the shard planner")
+    ap.add_argument("--row-optimizer", default="",
+                    choices=["", "adagrad", "adam"],
+                    help="sparse-row updates for the tables")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform before backend init (e.g. "
+                         "'cpu' with XLA_FLAGS=--xla_force_host_platform_"
+                         "device_count=8 to simulate a mesh)")
     args = ap.parse_args()
 
     import jax
-    if jax.default_backend() != "tpu" and jax.device_count() < 2:
-        jax.config.update("jax_platforms", "cpu")
+    if args.platform:  # must run before the backend initializes
+        jax.config.update("jax_platforms", args.platform)
+    need = (args.data_axis or 1) * args.model_axis
+    if jax.device_count() < need:
+        raise SystemExit(
+            f"need {need} devices, have {jax.device_count()} — on a "
+            "single-chip host simulate with XLA_FLAGS=--xla_force_host_"
+            "platform_device_count=8 and --platform cpu")
 
     import optax
     from ml_function_tpu.features.synthetic import make_criteo_like
@@ -39,12 +58,32 @@ def main():
     print("mesh:", dict(mesh.shape), "devices:", jax.device_count())
 
     fs, data = make_criteo_like(n_rows=args.rows, vocab_size=5000)
+    if args.plan:
+        from ml_function_tpu.parallel.planner import plan_field_order
+        plan = plan_field_order(fs, mesh.shape["model"])
+        fs = plan.feature_set  # layout-only change; the data stays valid
+        print(f"planner: imbalance {plan.imbalance_before:.2f} -> "
+              f"{plan.imbalance_after:.2f}")
     model = get_model("deepfm", fs)
     opt = optax.adam(2e-3)
-    sts = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh)
+    compress = args.compress or None
+    if args.row_optimizer:
+        from ml_function_tpu.parallel.sparse import (
+            create_sparse_sharded_state, make_sparse_sharded_train_step)
+        from ml_function_tpu.train.sparse import make_row_optimizer
+        row_opt = make_row_optimizer(args.row_optimizer)
+        sts = create_sparse_sharded_state(model, jax.random.PRNGKey(0), opt,
+                                          row_opt, mesh)
+        step = make_sparse_sharded_train_step(model, opt, row_opt, mesh,
+                                              exchange=args.exchange,
+                                              compress=compress)
+    else:
+        sts = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh)
+        step = make_sharded_train_step(model, opt, mesh,
+                                       exchange=args.exchange,
+                                       compress=compress)
     print("table sharding:",
           sts.params["embedding"]["table"].sharding.spec)
-    step = make_sharded_train_step(model, opt, mesh)
 
     n = 0
     for batch in iter_batches(data, args.batch_size, shuffle=True):
