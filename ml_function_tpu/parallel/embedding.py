@@ -32,10 +32,12 @@ TWO exchange strategies, one interface (pick with ``mode=``):
    (row-count-bound on v5e, PERF.md) dominates, i.e. exactly the hot
    CTR shapes; ``psum`` stays default because it is hop-free at tiny M.
 
-The a2a path takes a ``capacity`` per (src→dst) bucket — default N/M
-(= worst case, never drops); shrink it like an MoE capacity factor for
-power-law id streams where dedup makes overflow impossible in practice
-(overflowed ids read as zero rows, the documented drop semantics).
+The a2a path DEDUPS ids before the exchange (SURVEY §7): the per-peer
+slice is sorted by id, duplicates share one exchange slot, and the
+``capacity`` per (src→dst) bucket — default N/M (= worst case, never
+drops) — bounds UNIQUE ids per bucket, so power-law id streams can shrink
+it like an MoE capacity factor without loss (overflowed uniques read as
+zero rows, the documented drop semantics).
 """
 
 from __future__ import annotations
@@ -121,19 +123,30 @@ def _a2a_lookup(table_shard: jax.Array, ids: jax.Array,
         [flat, jnp.full((s * m - n,), sentinel, jnp.int32)])
     mine = jax.lax.dynamic_slice(flat_p, (j * s,), (s,))  # my N/M slice
 
-    owner = mine // r  # sentinel ids land in bucket m (never shipped)
-    order = jnp.argsort(owner)
+    # sort by ID (owner = id // r is monotone in id, so buckets stay
+    # contiguous) — duplicate ids become adjacent and SHARE one exchange
+    # slot (SURVEY §7's deduped-id a2a): traffic ∝ unique ids per bucket,
+    # and a capacity below S/M is lossless whenever per-bucket UNIQUES fit
+    order = jnp.argsort(mine)
     s_ids = mine[order]
-    s_owner = owner[order]
+    s_owner = s_ids // r
     counts = jnp.sum(s_owner[None, :] == jnp.arange(m + 1)[:, None],
                      axis=1).astype(jnp.int32)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    pos = jnp.arange(s, dtype=jnp.int32) - offsets[s_owner]
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+    cum_u = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(is_first).astype(jnp.int32)])      # C[i] = uniques < i
+    u_before_bucket = cum_u[offsets[s_owner]]
+    pos = cum_u[jnp.arange(1, s + 1)] - 1 - u_before_bucket  # unique rank
 
     cap = capacity
     send = jnp.full((m + 1, cap), sentinel, jnp.int32)
-    send = send.at[s_owner, pos].set(s_ids, mode="drop")  # overflow drops
+    # duplicates write the SAME id to the same slot (idempotent set);
+    # overflow beyond cap UNIQUE ids per bucket drops
+    send = send.at[s_owner, pos].set(s_ids, mode="drop")
     send = send[:m]  # bucket m (sentinels/pad) never ships
     req = jax.lax.all_to_all(send, MODEL_AXIS, split_axis=0, concat_axis=0,
                              tiled=False)
@@ -168,7 +181,7 @@ class ShardedLookup:
     mesh: Mesh
     feature_set: FeatureSet
     mode: str = "psum"
-    capacity: Optional[int] = None  # a2a per-bucket size; None = N/M (safe)
+    capacity: Optional[int] = None  # a2a per-bucket UNIQUE-id cap; None = N/M (safe)
     compress: Optional[str] = None  # None | 'bf16' (halve ICI row payloads)
 
     # --- sharding specs -------------------------------------------------

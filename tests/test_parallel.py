@@ -419,3 +419,36 @@ def test_compressed_train_step_close_to_exact(mesh42):
             losses[compress] = float(out["loss"])
         assert np.isclose(losses[None], losses["bf16"], atol=5e-3), (mode,
                                                                      losses)
+
+
+def test_a2a_dedup_small_capacity_lossless(mesh42):
+    """SURVEY §7's deduped-id a2a: duplicates share one exchange slot, so a
+    capacity far below ids-per-peer is lossless when per-bucket UNIQUES fit
+    (power-law id streams). 64 ids drawn from only 3 distinct values ride a
+    capacity-4 exchange exactly."""
+    fs, _ = make_criteo_like(n_rows=8, n_dense=0, n_sparse=4, vocab_size=13,
+                             embed_dim=4)
+    fe = FusedEmbedding(fs, with_linear=False)
+    params = fe.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.choice([1, 5, 9], size=(16, 4)).astype(np.int32))
+
+    want = fe.sparse(params, ids)
+    table = pad_table_for_shards(params["table"], 2)
+    sl = ShardedLookup(mesh42, fs, mode="a2a", capacity=4)
+    offs = jnp.asarray(fs.sparse_offsets())
+    got = sl.lookup(table, ids + offs[None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # grads also flow through the shared slots and sum like dense
+    def loss_s(t):
+        return jnp.sum(jnp.sin(sl.lookup(t, ids + offs[None, :])))
+
+    def loss_d(t):
+        return jnp.sum(jnp.sin(fe.sparse({"table": t}, ids)))
+
+    gs = jax.grad(loss_s)(table)[:params["table"].shape[0]]
+    gd = jax.grad(loss_d)(params["table"])
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-5,
+                               atol=1e-5)
