@@ -582,8 +582,8 @@ def run_board(steps: int, only=None):
                          ("dlrm", None), ("fibinet", None)]:
             b, eps = bench_model_best_batch(name, steps // 2, hp)
             add(f"{name} train", f"{eps:,.0f} ex/s/chip", f"B={b}")
-        eps = bench_model("mmoe", steps // 2, batch=32768)
-        add("mmoe train", f"{eps:,.0f} ex/s/chip", "B=32768")
+        b, eps = bench_model_best_batch("mmoe", steps // 2)
+        add("mmoe train", f"{eps:,.0f} ex/s/chip", f"B={b}")
 
     def seq_tier():
         for name, kw in [

@@ -38,12 +38,15 @@ def main():
     import jax
     if args.platform:  # must run before the backend initializes
         jax.config.update("jax_platforms", args.platform)
-    need = (args.data_axis or 1) * args.model_axis
-    if jax.device_count() < need:
+    n_dev = jax.device_count()
+    bad = (n_dev != args.data_axis * args.model_axis if args.data_axis
+           else n_dev % args.model_axis != 0)
+    if bad:
         raise SystemExit(
-            f"need {need} devices, have {jax.device_count()} — on a "
-            "single-chip host simulate with XLA_FLAGS=--xla_force_host_"
-            "platform_device_count=8 and --platform cpu")
+            f"mesh {args.data_axis or 'auto'}x{args.model_axis} does not "
+            f"tile {n_dev} device(s) — on a single-chip host simulate with "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 and "
+            "--platform cpu")
 
     import optax
     from ml_function_tpu.features.synthetic import make_criteo_like

@@ -1,10 +1,12 @@
-"""Worker for the multi-process drill (tests/test_multiprocess.py).
+"""Worker for the multi-process drills (tests/test_multiprocess.py).
 
 Each process: jax.distributed init -> sharded state init (jit, no full-table
-host materialization) -> 2 train steps on per-host batch slices -> sharded
-per-process checkpoint -> restore -> 2 more steps -> write result JSON.
+host materialization) -> 2 train steps on per-host batch slices -> per-process
+sharded checkpoint -> restore -> 2 more steps -> write result JSON.
 
-Run: python multiproc_worker.py <pid> <nprocs> <port> <workdir>
+Run: python multiproc_worker.py <pid> <nprocs> <port> <workdir> [dense|sparse]
+``sparse`` drives the sharded sparse-row optimizer path (parallel/sparse.py)
+with distributed row-optimizer moments instead of dense optax.
 """
 
 import json
@@ -15,6 +17,7 @@ import sys
 def main():
     pid, nprocs, port, workdir = (int(sys.argv[1]), int(sys.argv[2]),
                                   int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dense"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
@@ -35,9 +38,7 @@ def main():
     from ml_function_tpu.parallel.mesh import make_mesh
     from ml_function_tpu.parallel.multihost import (Heartbeat, global_metrics,
                                                     host_batch_slice)
-    from ml_function_tpu.parallel.train import (create_sharded_state,
-                                                make_sharded_train_step,
-                                                shard_batch)
+    from ml_function_tpu.parallel.train import shard_batch
     from ml_function_tpu.train.checkpoint import (latest_checkpoint,
                                                   restore_checkpoint,
                                                   save_checkpoint)
@@ -48,10 +49,39 @@ def main():
     fs, data = make_criteo_like(n_rows=256, n_dense=2, n_sparse=4,
                                 vocab_size=13, embed_dim=4, seed=0)
     model = get_model("fm", fs)
-    opt = optax.adam(1e-2)
     mesh = make_mesh(data=2 * nprocs, model=2)
 
-    ts = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh)
+    if mode == "sparse":
+        from ml_function_tpu.parallel.sparse import (
+            create_sparse_sharded_state, make_sparse_sharded_train_step)
+        from ml_function_tpu.train.sparse import RowAdagrad
+
+        row_opt = RowAdagrad(0.05)
+        dense_opt = optax.adam(1e-2)
+
+        def make_state():
+            return create_sparse_sharded_state(
+                model, jax.random.PRNGKey(0), dense_opt, row_opt, mesh)
+
+        ts = make_state()
+        # row-optimizer moments are genuinely distributed across processes
+        acc = ts.opt_state["rows"]["table"]["acc"]
+        assert not acc.is_fully_addressable
+        step = make_sparse_sharded_train_step(model, dense_opt, row_opt,
+                                              mesh, donate=False)
+    else:
+        from ml_function_tpu.parallel.train import (create_sharded_state,
+                                                    make_sharded_train_step)
+
+        opt = optax.adam(1e-2)
+
+        def make_state():
+            return create_sharded_state(model, jax.random.PRNGKey(0), opt,
+                                        mesh)
+
+        ts = make_state()
+        step = make_sharded_train_step(model, opt, mesh, donate=False)
+
     # the fused table is genuinely distributed: this process's addressable
     # blocks cover only 1/model_axis of the padded rows
     tab = ts.params["embedding"]["table"]
@@ -59,7 +89,6 @@ def main():
     assert len(local_rows) == 2 and all(
         (sl.stop - sl.start) == tab.shape[0] // 2 for sl in local_rows)
 
-    step = make_sharded_train_step(model, opt, mesh, donate=False)
     batches = list(iter_batches(data, 64))
 
     def host_slice(b):
@@ -90,7 +119,7 @@ def main():
         "a single process wrote the full table"
 
     # fresh state -> restore -> resume
-    ts2 = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh)
+    ts2 = make_state()
     ts2, _ = restore_checkpoint(latest_checkpoint(ckpt), ts2)
     assert int(jax.device_get(ts2.step)) == 2
     for b in batches[2:4]:
@@ -106,8 +135,8 @@ def main():
         json.dump({"losses": losses, "checksum": checksum,
                    "train_count": gm["count"],
                    "step": int(jax.device_get(ts2.step))}, f)
-    print(f"worker {pid}: OK losses={losses} checksum={checksum:.6f}",
-          flush=True)
+    print(f"worker {pid} ({mode}): OK losses={losses} "
+          f"checksum={checksum:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -149,14 +149,13 @@ def test_two_process_sparse_row_path(tmp_path):
         create_sparse_sharded_state, make_sparse_sharded_train_step)
     from ml_function_tpu.train.sparse import RowAdagrad
 
-    worker = os.path.join(os.path.dirname(__file__),
-                          "multiproc_sparse_worker.py")
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+        [sys.executable, _WORKER, str(i), "2", str(port), str(tmp_path),
+         "sparse"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
     outs = [p.communicate(timeout=540)[0].decode() for p in procs]
@@ -167,6 +166,7 @@ def test_two_process_sparse_row_path(tmp_path):
         with open(tmp_path / f"result_{i}.json") as f:
             results.append(json.load(f))
     assert results[0] == results[1]
+    assert results[0]["step"] == 4
 
     # single-process reference (same seed/batches/mesh shape)
     fs, data = make_criteo_like(n_rows=256, n_dense=2, n_sparse=4,
