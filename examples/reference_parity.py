@@ -49,6 +49,8 @@ def eval_metrics(y, p):
 def model_hp(args):
     if args.model == "din":
         return {"hidden": (200, 80)}
+    if args.model == "bst":
+        return {"hidden": (200, 80), "n_blocks": 1, "num_heads": 2}
     if args.model == "dien":
         return {"hidden": (200, 80), "mode": "aigru",
                 "aux_weight": args.aux_weight}
@@ -500,6 +502,68 @@ def run_tf_dsin(fs, train, test, args):
     return _tf_fit_eval_seq(m, train, test, args)
 
 
+def run_tf_bst(fs, train, test, args):
+    """Reference BST composition (models.py:336-349) to the PAPER's
+    semantics (candidate appended to the sequence + sin/cos positions +
+    transformer block + MLP — our stack's documented divergence from the
+    reference's seq-pair split is applied to BOTH sides so the comparison
+    isolates numerics, not architecture)."""
+    import os
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import keras
+    from keras import layers, ops
+
+    d, emb_item, emb_cate = _beh_embeds(fs)
+    kd = 2 * d
+    L = train["seq"]["hist_item"].shape[1]
+
+    inp_sparse = keras.Input((len(fs.sparse),), dtype="int32")
+    inp_hitem = keras.Input((L,), dtype="int32")
+    inp_hcate = keras.Input((L,), dtype="int32")
+
+    pos = np.zeros((L + 1, kd), np.float32)
+    p_ = np.arange(L + 1)[:, None]
+    div = np.exp(np.arange(0, kd, 2) * (-np.log(10000.0) / kd))
+    pos[:, 0::2] = np.sin(p_ * div)
+    pos[:, 1::2] = np.cos(p_ * div)
+
+    class BSTBody(layers.Layer):
+        def build(self, _):
+            self.mha = layers.MultiHeadAttention(num_heads=2,
+                                                 key_dim=kd // 2,
+                                                 output_shape=kd)
+            self.ln1 = layers.LayerNormalization()
+            self.ln2 = layers.LayerNormalization()
+            self.ff1 = layers.Dense(4 * kd, activation="relu")
+            self.ff2 = layers.Dense(kd)
+
+        def call(self, sparse, hitem, hcate):
+            cand = ops.concatenate([emb_item(sparse[:, 0]),
+                                    emb_cate(sparse[:, 1])], -1)
+            mask = ops.cast(ops.not_equal(hitem, 0), "float32")
+            beh = ops.concatenate([emb_item(hitem), emb_cate(hcate)], -1)
+            beh = beh * mask[..., None]
+            seq = ops.concatenate([beh, cand[:, None, :]], 1)  # (B, L+1, kd)
+            full = ops.concatenate(
+                [mask, ops.ones_like(mask[:, :1])], 1)
+            seq = seq + ops.convert_to_tensor(pos)[None]
+            att = self.mha(seq, seq,
+                           attention_mask=ops.cast(full, "bool")[:, None, :])
+            seq = self.ln1(seq + att)
+            seq = self.ln2(seq + self.ff2(self.ff1(seq)))
+            denom = ops.maximum(ops.sum(full, -1, keepdims=True), 1.0)
+            return ops.sum(seq * full[..., None], 1) / denom
+
+    h = BSTBody()(inp_sparse, inp_hitem, inp_hcate)
+    for width in (200, 80):
+        h = layers.Dense(width)(h)
+        h = layers.LayerNormalization()(h)
+        h = layers.ReLU()(h)
+    out = layers.Dense(1, activation="sigmoid")(h)[:, 0]
+    m = keras.Model([inp_sparse, inp_hitem, inp_hcate], out)
+    return _tf_fit_eval_seq(m, train, test, args)
+
+
 def run_tf_mmoe(fs, train, test, args):
     """MMoE composition (the cvr_model the reference stubbed,
     kon/model/cvr_model/ — implemented to the paper): shared experts,
@@ -588,7 +652,7 @@ def main():
     ap.add_argument("--hidden", type=int, nargs="+", default=[256, 128, 64])
     ap.add_argument("--model", choices=["fm", "wide_deep", "deepfm",
                                         "xdeepfm", "dcn", "autoint", "din",
-                                        "dien", "dsin", "mmoe"],
+                                        "dien", "dsin", "bst", "mmoe"],
                     default="deepfm")
     ap.add_argument("--seq-len", type=int, default=32)
     ap.add_argument("--session-shape", type=int, nargs=2, default=[4, 8])
@@ -604,7 +668,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    if args.model in ("din", "dien", "dsin"):
+    if args.model in ("din", "dien", "dsin", "bst"):
         from ml_function_tpu.features.synthetic import make_behavior_data
         fs, data = make_behavior_data(
             n_rows=args.rows, n_items=args.vocab,
@@ -627,8 +691,8 @@ def main():
         print("ours:", json.dumps(ours), flush=True)
     if not args.skip_tf:
         tf_fn = {"din": run_tf_din, "dien": run_tf_dien,
-                 "dsin": run_tf_dsin, "mmoe": run_tf_mmoe}.get(args.model,
-                                                               run_tf)
+                 "dsin": run_tf_dsin, "bst": run_tf_bst,
+                 "mmoe": run_tf_mmoe}.get(args.model, run_tf)
         ref = tf_fn(fs, train, test, args)
         print("tf reference stack:", json.dumps(ref))
         if ours:
