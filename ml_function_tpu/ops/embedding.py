@@ -78,7 +78,11 @@ def _gather(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
 #   and the dense (V, W) table gradient never materializes.
 # ---------------------------------------------------------------------------
 
-_ROW_TAPE = None
+# Thread-local active tape: two sparse steps traced concurrently (threads)
+# must not interleave tape records / mispair injected rows (ADVICE r3).
+import threading
+
+_TAPE_TLS = threading.local()
 
 
 class RowTape:
@@ -107,18 +111,20 @@ class row_tape:
         self.tape = tape
 
     def __enter__(self):
-        global _ROW_TAPE
-        self._prev, _ROW_TAPE = _ROW_TAPE, self.tape
+        prev = getattr(_TAPE_TLS, "tape", None)
+        assert prev is None or prev.mode != self.tape.mode, (
+            f"a {self.tape.mode!r} RowTape is already active on this thread "
+            "— nested tapes of the same mode would interleave records")
+        self._prev, _TAPE_TLS.tape = prev, self.tape
         return self.tape
 
     def __exit__(self, *exc):
-        global _ROW_TAPE
-        _ROW_TAPE = self._prev
+        _TAPE_TLS.tape = self._prev
         return False
 
 
 def active_row_tape():
-    return _ROW_TAPE
+    return getattr(_TAPE_TLS, "tape", None)
 
 
 def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:

@@ -8,16 +8,36 @@ Step anatomy (one jit):
 2. gather rows OUTSIDE the loss through the collective exchange
    (ShardedLookup: psum or a2a — the same path the dense forward uses);
 3. differentiate dense params + gathered rows (cotangents stay (N, W));
-4. row update inside ``shard_map`` over (data, model): each device
-   all-gathers the (ids, row-grads) of its model column over ``data``
-   (grad traffic ∝ ids/step — same class as the forward exchange),
-   dedup-sums duplicates, translates to local row offsets, and applies the
-   row optimizer to the rows its table shard OWNS (unowned slots clip to
-   row 0 with exact-zero deltas). Moments live sharded next to their rows.
+4. row update inside ``shard_map`` over (data, model), with TWO gradient
+   exchange strategies (``grad_exchange=``):
+
+   - ``'a2a'`` (default) — OWNER-ROUTED, the backward twin of the
+     forward id-all-to-all (``parallel/embedding._a2a_lookup``): each
+     device takes its model-column slice (S = N_loc/M ids) of the local
+     batch shard's (id, grad-row) pairs, sorts by id, scatter-ADDS
+     duplicate rows into one capacity-bounded slot per unique id
+     (dedup-sum happens BEFORE any wire), ``all_to_all``s the (id, row)
+     buckets to their owner shards over ``model``, then a single
+     ``all_gather`` over ``data`` collects the contributions for THIS
+     shard's rows only. Per-device wire traffic: (M−1)/M·cap·M·W on the
+     a2a + (D−1)·M·cap·W on the data gather, where cap defaults to S
+     (lossless worst case) and shrinks toward uniques-per-bucket on
+     power-law streams — vs the allgather path's unconditional
+     (D−1)·N_loc·W of RAW occurrence rows. The pre-exchange sort is over
+     S = N/(D·M) ids per device instead of a replicated N.
+   - ``'allgather'`` — every device all-gathers ALL (id, grad-row) pairs
+     of its model column over ``data`` and dedups the full N, masking to
+     its owned rows. Hop-free and exact; kept as the reference path (the
+     a2a equality test pins owner-routing against it) and for tiny
+     meshes where one gather beats two collectives.
+
+   Either way the row optimizer applies to the rows this table shard OWNS
+   (unowned slots clip to row 0 with exact-zero deltas); moments live
+   sharded next to their rows.
 
 Equivalence: loss and updated tables match the single-device sparse step
-exactly (tests/test_parallel_sparse.py); RowAdagrad in turn matches dense
-``optax.adagrad``.
+exactly for both exchanges (tests/test_parallel_sparse.py); RowAdagrad in
+turn matches dense ``optax.adagrad``.
 """
 
 from __future__ import annotations
@@ -73,11 +93,20 @@ def create_sparse_sharded_state(model: Model, rng, dense_opt, row_opt,
 def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
                                    mesh: Mesh, donate: bool = True,
                                    exchange: str = "psum",
-                                   compress=None) -> Callable:
+                                   compress=None,
+                                   grad_exchange: str = "a2a",
+                                   grad_capacity=None) -> Callable:
+    """``exchange``/``compress`` configure the FORWARD row gather
+    (ShardedLookup); ``grad_exchange`` ('a2a' | 'allgather') the backward
+    row-gradient routing — see the module docstring. ``grad_capacity``
+    bounds unique ids per (src→dst) bucket on the a2a backward; None = the
+    lossless worst case (slice size S = ceil(N_loc / M))."""
+    if grad_exchange not in ("a2a", "allgather"):
+        raise ValueError(f"unknown grad_exchange {grad_exchange!r}")
     fs = model.feature_set
     sl = ShardedLookup(mesh, fs, mode=exchange, compress=compress)
 
-    def _row_update(table, state, gids, grads):
+    def _row_update_allgather(table, state, gids, grads):
         """shard_map body: table/state (local rows block), gids/grads (local
         batch shard). Returns updated local blocks."""
         r = table.shape[0]
@@ -92,6 +121,80 @@ def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
             table, state, sid_local, jnp.where(owned[:, None], g, 0.0),
             is_end & owned)
         return new_table, new_state
+
+    def _row_update_a2a(table, state, gids, grads):
+        """Owner-routed shard_map body (the backward twin of
+        ``parallel/embedding._a2a_lookup`` — same slice → sort-by-owner →
+        unique-rank bucketing, with ``.add`` instead of ``.set`` so
+        duplicate ids' rows dedup-SUM into one exchange slot before any
+        collective)."""
+        r, w = table.shape[0], grads.shape[1]
+        m = jax.lax.axis_size(MODEL_AXIS)
+        j = jax.lax.axis_index(MODEL_AXIS)
+
+        flat = gids.reshape(-1).astype(jnp.int32)
+        n = flat.shape[0]
+        s = -(-n // m)                      # ids handled per peer
+        sentinel = jnp.int32(r * m)         # owned by no shard
+        flat_p = jnp.concatenate(
+            [flat, jnp.full((s * m - n,), sentinel, jnp.int32)])
+        g_p = jnp.concatenate(
+            [grads, jnp.zeros((s * m - n, w), grads.dtype)])
+        mine = jax.lax.dynamic_slice(flat_p, (j * s,), (s,))
+        mine_g = jax.lax.dynamic_slice(g_p, (j * s, 0), (s, w))
+
+        # sort my slice by id; owner buckets stay contiguous; duplicates
+        # share one exchange slot (same unique-rank machinery as forward)
+        order = jnp.argsort(mine)
+        s_ids = mine[order]
+        s_g = mine_g[order]
+        s_owner = s_ids // r
+        counts = jnp.sum(s_owner[None, :] == jnp.arange(m + 1)[:, None],
+                         axis=1).astype(jnp.int32)
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+        cum_u = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(is_first).astype(jnp.int32)])
+        u_before_bucket = cum_u[offsets[s_owner]]
+        pos = cum_u[jnp.arange(1, s + 1)] - 1 - u_before_bucket
+
+        cap = grad_capacity or s
+        send_ids = jnp.full((m + 1, cap), sentinel, jnp.int32)
+        send_ids = send_ids.at[s_owner, pos].set(s_ids, mode="drop")
+        send_g = jnp.zeros((m + 1, cap, w), grads.dtype)
+        # duplicates ADD into their unique id's slot: dedup-sum pre-wire
+        send_g = send_g.at[s_owner, pos].add(s_g, mode="drop")
+        if compress == "bf16":
+            send_g = send_g.astype(jnp.bfloat16)
+        recv_ids = jax.lax.all_to_all(
+            send_ids[:m], MODEL_AXIS, split_axis=0, concat_axis=0,
+            tiled=False).reshape(m, cap)
+        recv_g = jax.lax.all_to_all(
+            send_g[:m], MODEL_AXIS, split_axis=0, concat_axis=0,
+            tiled=False).reshape(m, cap, w)
+
+        # one data-axis gather of MY shard's contributions only (all recv
+        # entries are owned by me or sentinel padding)
+        all_ids = jax.lax.all_gather(recv_ids.reshape(-1), DATA_AXIS,
+                                     axis=0, tiled=True)
+        all_g = jax.lax.all_gather(recv_g.reshape(-1, w), DATA_AXIS,
+                                   axis=0, tiled=True)
+        if compress == "bf16":
+            all_g = all_g.astype(grads.dtype)
+        sid, g, is_end = dedup_sum(all_ids, all_g)
+        local = sid - j * r
+        owned = (local >= 0) & (local < r)
+        sid_local = jnp.clip(local, 0, r - 1)
+        return row_opt.apply_rows(
+            table, state, sid_local, jnp.where(owned[:, None], g, 0.0),
+            is_end & owned)
+
+    _row_update = (_row_update_a2a if grad_exchange == "a2a"
+                   else _row_update_allgather)
 
     def train_step(ts: TrainState, batch):
         # shared record → collective gather → inject → grad → dense update

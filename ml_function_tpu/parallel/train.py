@@ -106,7 +106,10 @@ def create_sharded_state(model: Model, rng, optimizer, mesh: Mesh) -> TrainState
         out_sh = (shardings_for(shapes[0]),
                   jax.tree_util.tree_map(lambda _: rep, shapes[1]))
         params, model_state = jax.jit(init_all, out_shardings=out_sh)(init_rng)
-    except jax.errors.TracerArrayConversionError:
+    except jax.errors.ConcretizationTypeError:
+        # common parent of TracerArray/TracerBool/TracerInteger conversion
+        # errors — a Python `if`/`int()` on a tracer in warm-start code must
+        # also reach the host-init fallback (ADVICE r3)
         if jax.process_count() > 1:
             raise RuntimeError(
                 f"model {model.name!r} has a non-traceable init (numpy "

@@ -142,7 +142,7 @@ def run(cfg: Config) -> dict:
         from ..parallel.sparse import make_sparse_sharded_train_step
         train_step = make_sparse_sharded_train_step(
             model, opt, row_opt, mesh, exchange=cfg.mesh.exchange,
-            compress=compress)
+            compress=compress, grad_exchange=cfg.mesh.grad_exchange)
     else:
         train_step = make_sharded_train_step(model, opt, mesh,
                                              exchange=cfg.mesh.exchange,

@@ -54,6 +54,8 @@ class MeshConfig:
     model: int = 1
     exchange: str = "psum"             # embedding lookup: 'psum' | 'a2a'
     compress: str = ""                 # '' | 'bf16' row-payload ICI compression
+    # sparse-row backward routing: 'a2a' owner-routed (default) | 'allgather'
+    grad_exchange: str = "a2a"
 
 
 @dataclass

@@ -67,7 +67,8 @@ _SLOW_NODEIDS = (
     "test_multiprocess.py::test_two_process_cli_train_checkpoint_resume",
     "test_multiprocess.py::test_two_process_sparse_row_path",
     "test_models_image.py::test_dicm_learns_visual_signal",
-    "test_parallel_sparse.py::test_sharded_sparse_matches_single_device[adam]",
+    "test_parallel_sparse.py::test_sharded_sparse_matches_single_device[adam-a2a]",
+    "test_parallel_sparse.py::test_sharded_sparse_matches_single_device[adagrad-allgather]",
     "test_parallel_sparse.py::test_sharded_sparse_with_bf16_compress",
     "test_sparse_optimizer.py::test_sparse_rowwise_adagrad_single_accumulator_learns",
     "test_sparse_optimizer.py::test_sparse_step_supports_sequence_models",
