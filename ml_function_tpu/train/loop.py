@@ -233,6 +233,10 @@ class FitResult:
     eval_metrics: Dict[str, float]
     steps: int
     examples_per_sec: float
+    # eval-driven training control (train/control.py):
+    history: Any = None            # History of periodic evals (or None)
+    best_step: int = -1            # step of the best monitored eval
+    stopped_early: bool = False    # early stopping fired
 
 
 def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
@@ -241,15 +245,48 @@ def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
         eval_data: Optional[Dict[str, Any]] = None, seed: int = 0,
         log_every: int = 0, verbose: bool = False,
         steps_per_call: int = 1,
-        init_params=None) -> Tuple[TrainState, FitResult]:
+        init_params=None,
+        eval_every: int = 0, patience: int = 0, monitor: str = "auc",
+        min_delta: float = 0.0, restore_best: Optional[bool] = None,
+        plateau: Optional[Dict[str, Any]] = None
+        ) -> Tuple[TrainState, FitResult]:
     """Single-device fit (the multi-chip path lives in ``parallel/``).
 
     ``steps_per_call > 1`` chains that many steps per dispatch
     (``make_chained_train_step``) — use on high-dispatch-latency links.
     ``init_params=(params, model_state)`` warm-starts from existing params
     (e.g. ``fnn_from_fm``, checkpoint fine-tune); optimizer state is
-    freshly initialized on them."""
-    opt = optimizer or optax.adam(learning_rate)
+    freshly initialized on them.
+
+    Eval-driven control (reference ``EarlyStopping(10)`` seq.py:53 /
+    ``ReduceLROnPlateau`` walk_core_model.py:203-227 — train/control.py):
+
+    - ``eval_every`` steps between periodic evals over ``eval_data``
+      (0 with ``patience``/``plateau`` set → once per epoch);
+    - ``patience`` > 0 enables early stopping on ``monitor`` (mode
+      inferred: max for auc-like, min for loss-like) with ``min_delta``;
+    - ``restore_best`` (default True when control is active) restores the
+      best-``monitor`` params/model_state into the returned state;
+    - ``plateau`` = dict(factor=, patience=, min_lr=, cooldown=) reduces
+      the LR on plateaus — requires an ``inject_lr=True`` optimizer (built
+      automatically when ``optimizer`` is None).
+    """
+    control = bool(patience or plateau or (eval_every and
+                                           eval_data is not None))
+    if control and steps_per_call > 1:
+        raise ValueError("training control (eval_every/patience/plateau) "
+                         "is unsupported with steps_per_call > 1 — chained "
+                         "steps cannot stop mid-dispatch")
+    if control and eval_data is None:
+        raise ValueError("patience/plateau need eval_data to monitor")
+    if optimizer is None:
+        if plateau:
+            from .optimizers import make_optimizer
+            opt = make_optimizer("adam", learning_rate, inject_lr=True)
+        else:
+            opt = optax.adam(learning_rate)
+    else:
+        opt = optimizer
     ts = create_train_state(model, jax.random.PRNGKey(seed), opt)
     if init_params is not None:
         p0, s0 = init_params
@@ -262,11 +299,36 @@ def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
     train_step = make_train_step(model, opt)
     eval_step = make_eval_step(model)
 
+    def run_eval(params, model_state) -> Dict[str, float]:
+        em = init_metrics()
+        for b in iter_batches(eval_data, batch_size):
+            em = eval_step(params, model_state, em, b)
+        return metrics_summary(em)
+
+    stopper = history = reducer = best_tracker = None
+    best = None  # host copy of (params, model_state) at the best eval
+    if control:
+        from .control import (EarlyStopping, History, MetricMonitor,
+                              ReduceLROnPlateau)
+        history = History()
+        best_tracker = MetricMonitor(monitor, min_delta=min_delta)
+        if patience:
+            stopper = EarlyStopping(patience, monitor, min_delta=min_delta)
+        if plateau:
+            reducer = ReduceLROnPlateau(base_lr=learning_rate,
+                                        monitor=monitor,
+                                        min_delta=min_delta, **plateau)
+        if not eval_every:
+            eval_every = -(-len(data["label"]) // batch_size)  # per epoch
+        if restore_best is None:
+            restore_best = True
+
     metrics = init_metrics()
     update = jax.jit(update_metrics)
     steps = 0
     n_examples = 0
     t0 = None
+    stopped = False
     for epoch in range(epochs):
         for batch in prefetch(iter_batches(data, batch_size, shuffle=True,
                                            seed=seed + epoch)):
@@ -281,18 +343,58 @@ def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
                 n_examples += batch_size
             if log_every and steps % log_every == 0 and verbose:
                 print(f"step {steps} loss {float(out['loss']):.4f}")
+            if control and steps % eval_every == 0:
+                summ = run_eval(ts.params, ts.model_state)
+                extra = {}
+                if reducer is not None:
+                    new_lr = reducer.update(summ[monitor], steps)
+                    if new_lr is not None:
+                        from .optimizers import set_learning_rate
+                        ts = TrainState(
+                            params=ts.params,
+                            opt_state=set_learning_rate(ts.opt_state,
+                                                        new_lr),
+                            model_state=ts.model_state, step=ts.step,
+                            rng=ts.rng)
+                    extra["lr"] = reducer.lr
+                history.append(steps, summ, **extra)
+                if verbose:
+                    print(f"eval @ step {steps}: {summ}"
+                          + (f" lr={extra.get('lr')}" if extra else ""))
+                if best_tracker.improved(summ[monitor], steps):
+                    best = (jax.device_get(ts.params),
+                            jax.device_get(ts.model_state))
+                if stopper is not None and stopper.update(summ[monitor],
+                                                         steps):
+                    stopped = True
+                    break
+        if stopped:
+            break
     jax.block_until_ready(ts.params)
     dt = (time.perf_counter() - t0) if t0 else float("inf")
     eps = n_examples / dt if dt > 0 else 0.0
 
+    if control and restore_best and best is not None:
+        ts = TrainState(params=jax.device_put(best[0]),
+                        opt_state=ts.opt_state,
+                        model_state=jax.device_put(best[1]) if best[1]
+                        else best[1],
+                        step=ts.step, rng=ts.rng)
+
     ev = {}
     if eval_data is not None:
-        em = init_metrics()
-        for batch in iter_batches(eval_data, batch_size):
-            em = eval_step(ts.params, ts.model_state, em, batch)
-        ev = metrics_summary(em)
+        ev = run_eval(ts.params, ts.model_state) if control else None
+        if ev is None:
+            em = init_metrics()
+            for batch in iter_batches(eval_data, batch_size):
+                em = eval_step(ts.params, ts.model_state, em, batch)
+            ev = metrics_summary(em)
     return ts, FitResult(train_metrics=metrics_summary(metrics),
-                         eval_metrics=ev, steps=steps, examples_per_sec=eps)
+                         eval_metrics=ev, steps=steps, examples_per_sec=eps,
+                         history=history,
+                         best_step=best_tracker.best_step if best_tracker
+                         else -1,
+                         stopped_early=stopped)
 
 
 def _fit_chained(model, data, opt, ts, *, epochs, batch_size, eval_data,

@@ -64,20 +64,69 @@ def ftrl(learning_rate: float = 0.05, beta: float = 1.0,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def make_lr_schedule(name: str, base_lr: float, *, decay_steps: int = 10_000,
+                     warmup_steps: int = 0, decay_rate: float = 0.96,
+                     transition_steps: int = 1000, end_lr_frac: float = 0.0):
+    """Step-based LR schedules (optax) — the counterpart of the reference's
+    Keras LR callbacks (``walk_core_model.py:203-227`` uses
+    ReduceLROnPlateau; eval-driven plateau reduction is host-side, see
+    ``plateau_scale`` / ``fit(plateau=...)``)."""
+    name = (name or "constant").lower()
+    if name == "constant":
+        return base_lr
+    if name == "cosine":
+        return optax.cosine_decay_schedule(base_lr, decay_steps,
+                                           alpha=end_lr_frac)
+    if name == "exponential":
+        return optax.exponential_decay(base_lr, transition_steps, decay_rate)
+    if name == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, warmup_steps, decay_steps,
+            end_value=base_lr * end_lr_frac)
+    raise ValueError(f"unknown lr schedule {name!r}")
+
+
 def make_optimizer(name: str = "adam", learning_rate: float = 1e-3,
+                   schedule: str = "", inject_lr: bool = False,
                    **kw) -> optax.GradientTransformation:
+    """``schedule``: '' | cosine | exponential | warmup_cosine (step-based,
+    kwargs forwarded to :func:`make_lr_schedule`). ``inject_lr=True`` wraps
+    the factory in ``optax.inject_hyperparams`` so the host can retune the
+    LR between steps (``set_learning_rate`` — the ReduceLROnPlateau
+    mechanism); incompatible with a step schedule."""
     name = name.lower()
-    if name == "adam":
-        return optax.adam(learning_rate, **kw)
-    if name == "adagrad":
-        return optax.adagrad(learning_rate, **kw)
-    if name == "sgd":
-        return optax.sgd(learning_rate, **kw)
-    if name == "adamw":
-        return optax.adamw(learning_rate, **kw)
-    if name == "ftrl":
-        return ftrl(learning_rate, **kw)
-    raise ValueError(f"unknown optimizer {name!r}")
+    factories = {"adam": optax.adam, "adagrad": optax.adagrad,
+                 "sgd": optax.sgd, "adamw": optax.adamw, "ftrl": ftrl}
+    if name not in factories:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if schedule and inject_lr:
+        raise ValueError("pick ONE of schedule= (step-based) or "
+                         "inject_lr= (host-controlled plateau)")
+    sched_kw = {k: kw.pop(k) for k in ("decay_steps", "warmup_steps",
+                                       "decay_rate", "transition_steps",
+                                       "end_lr_frac") if k in kw}
+    lr = make_lr_schedule(schedule, learning_rate, **sched_kw) \
+        if schedule else learning_rate
+    if inject_lr:
+        return optax.inject_hyperparams(factories[name])(
+            learning_rate=learning_rate, **kw)
+    return factories[name](lr, **kw)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Return ``opt_state`` with the injected learning_rate replaced (host-
+    side, between steps). Requires the optimizer was built with
+    ``inject_lr=True``."""
+    if not hasattr(opt_state, "hyperparams") or \
+            "learning_rate" not in opt_state.hyperparams:
+        raise ValueError("optimizer was not built with inject_lr=True")
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
 
 
 def _is_table(path) -> bool:
