@@ -98,8 +98,9 @@ def FFM(fs: FeatureSet, ffm_dim: int = 4) -> Model:
     def fwd(params, batch, train):
         ids = batch["sparse"]
         gids = ids + jnp.asarray(fs.sparse_offsets())[None, :]
-        lin = gather_rows(params["embedding"]["linear"], gids)[..., 0]
-        rows = gather_rows(params["ffm"], gids)          # (B, F, F·K)
+        lin = gather_rows(params["embedding"]["linear"], gids,
+                          tape_key="linear")[..., 0]
+        rows = gather_rows(params["ffm"], gids, tape_key="ffm")  # (B, F, F·K)
         e = rows.reshape(rows.shape[0], f, f, k)          # e[b,i,j] = v_{i,fj}
         t = jnp.sum(e * jnp.swapaxes(e, 1, 2), axis=-1)   # t[b,i,j]=v_{i,fj}·v_{j,fi}
         diag = jnp.sum(jnp.diagonal(t, axis1=1, axis2=2), axis=-1)

@@ -282,7 +282,7 @@ def ONN(fs: FeatureSet, ffm_dim: int = 4,
     def fwd(params, batch, train):
         inp = embed_inputs(fe, params["embedding"], batch)
         gids = batch["sparse"] + jnp.asarray(fs.sparse_offsets())[None, :]
-        rows = gather_rows(params["ffm"], gids)           # (B, F, F·K)
+        rows = gather_rows(params["ffm"], gids, tape_key="ffm")  # (B, F, F·K)
         e = rows.reshape(rows.shape[0], f, f, k)
         t = jnp.sum(e * jnp.swapaxes(e, 1, 2), axis=-1)   # (B, F, F)
         iu, ju = np.triu_indices(f, k=1)
@@ -336,7 +336,7 @@ def FATDeepFFM(fs: FeatureSet, ffm_dim: int = 4, reduction: int = 2,
     def fwd(params, batch, train):
         inp = embed_inputs(fe, params["embedding"], batch)
         gids = batch["sparse"] + jnp.asarray(fs.sparse_offsets())[None, :]
-        rows = gather_rows(params["ffm"], gids)           # (B, F, F·K)
+        rows = gather_rows(params["ffm"], gids, tape_key="ffm")  # (B, F, F·K)
         # CENet: squeeze → excite → rescale fields
         zsq = jnp.mean(rows, axis=-1)                     # (B, F)
         a = jax.nn.relu(Dense(f, mid)(params["se1"], zsq))
@@ -509,7 +509,8 @@ def OENN(fs: FeatureSet, max_order: int = 3,
         parts = [inp["emb"].reshape(inp["emb"].shape[0], -1)]
         l2 = inp["l2"]
         for k in range(2, max_order + 1):
-            e = gather_rows(params[f"order{k}"], gids)        # (B, F, D)
+            e = gather_rows(params[f"order{k}"], gids,
+                            tape_key=f"order{k}")    # (B, F, D)
             s1 = jnp.sum(e, axis=1)
             s2 = jnp.sum(jnp.square(e), axis=1)
             if k == 2:

@@ -127,11 +127,25 @@ def active_row_tape():
     return getattr(_TAPE_TLS, "tape", None)
 
 
-def gather_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
+def gather_rows(table: jax.Array, ids: jax.Array,
+                tape_key: Optional[str] = None) -> jax.Array:
     """(…,) row ids → (…, W) rows, with the tuned custom-vjp backward
     (columns split into ≤8-wide groups so fwd gathers and bwd scatters land
     on v5e's fast widths — PERF.md). For auxiliary tables (FFM blocks,
-    pretrained side tables) that live outside a ``FusedEmbedding``."""
+    OENN per-order tables, pretrained side tables) that live outside a
+    ``FusedEmbedding``.
+
+    ``tape_key`` opts the lookup into the sparse-row path (train/sparse.py):
+    under an active RowTape the call records/injects under that key instead
+    of reading ``table``, so aux tables ride the same O(ids/step) row
+    updates as the fused tables. Keys 'table'/'linear' are reserved for the
+    FusedEmbedding column groups; aux keys name the param's top-level slot
+    (e.g. 'ffm', 'order2'). Under a tape ``table`` may be the zero-row
+    placeholder the sparse step substitutes — only its width is read."""
+    if tape_key is not None:
+        tape = active_row_tape()
+        if tape is not None:
+            return tape.gather(tape_key, ids, int(table.shape[-1]))
     flat = ids.reshape(-1)
     return _gather(table, flat).reshape(ids.shape + (table.shape[-1],))
 
@@ -182,7 +196,8 @@ class FusedEmbedding:
             from ..parallel.embedding import ShardedLookup
             return ShardedLookup(pctx.active_mesh(), self.feature_set,
                                  mode=pctx.exchange_mode(),
-                                 compress=pctx.exchange_compress())
+                                 compress=pctx.exchange_compress(),
+                                 capacity=pctx.exchange_capacity())
         return None
 
     def _rows(self, table: jax.Array, global_ids: jax.Array) -> jax.Array:

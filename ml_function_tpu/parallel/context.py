@@ -41,21 +41,32 @@ def exchange_compress() -> Optional[str]:
     return getattr(_state, "compress", None)
 
 
+def exchange_capacity() -> Optional[int]:
+    return getattr(_state, "capacity", None)
+
+
 @contextlib.contextmanager
 def sharded_embeddings(mesh: Mesh, mode: str = "psum",
-                       compress: Optional[str] = None):
+                       compress: Optional[str] = None,
+                       capacity: Optional[int] = None):
     """``mode``: 'psum' (mask+psum) or 'a2a' (id all-to-all exchange) —
     see parallel/embedding.py for the trade-off. ``compress='bf16'`` ships
-    the exchanged row payloads in bfloat16 (half the ICI bytes)."""
+    the exchanged row payloads in bfloat16 (half the ICI bytes).
+    ``capacity`` bounds UNIQUE ids per a2a (src→dst) bucket (None = the
+    lossless worst case; derive a tuned value from frequency stats with
+    ``parallel.planner.plan_capacity``)."""
     prev = getattr(_state, "mesh", None)
     prev_mode = getattr(_state, "mode", "psum")
     prev_compress = getattr(_state, "compress", None)
+    prev_capacity = getattr(_state, "capacity", None)
     _state.mesh = mesh
     _state.mode = mode
     _state.compress = compress
+    _state.capacity = capacity
     try:
         yield
     finally:
         _state.mesh = prev
         _state.mode = prev_mode
         _state.compress = prev_compress
+        _state.capacity = prev_capacity

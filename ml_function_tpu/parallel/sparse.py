@@ -51,7 +51,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.base import Model
 from ..train.loop import TrainState
-from ..train.sparse import dedup_sum, sparse_step_core
+from ..train.sparse import (aux_row_tables, dedup_sum, row_table_groups,
+                            sparse_dense_tree, sparse_step_core)
 from .embedding import ShardedLookup
 from .mesh import DATA_AXIS, MODEL_AXIS
 from .train import create_sharded_state
@@ -62,13 +63,14 @@ def create_sparse_sharded_state(model: Model, rng, dense_opt, row_opt,
     """Params as in ``create_sharded_state`` (tables padded + row-sharded
     under jit); optimizer state = {'dense': optax on non-table params,
     'rows': {group: row state}} with row-optimizer moments sharded exactly
-    like their tables."""
+    like their tables. Aux row tables (FFM blocks, OENN orders) stay
+    replicated (as their params are) but get row states too — their
+    per-step moment traffic is O(ids), not O(V)."""
     # identity optimizer for the base init: never materialize full-table
     # dense moments (the whole point of the sparse path)
     base = create_sharded_state(model, rng, optax.identity(), mesh)
     emb = base.params.get("embedding", {})
-    dense_tree = dict(base.params)
-    dense_tree["embedding"] = {}
+    dense_tree = sparse_dense_tree(model, base.params)
     rep = NamedSharding(mesh, P())
     dshapes = jax.eval_shape(dense_opt.init, dense_tree)
     dense_state = jax.jit(
@@ -76,17 +78,22 @@ def create_sparse_sharded_state(model: Model, rng, dense_opt, row_opt,
         out_shardings=jax.tree_util.tree_map(lambda _: rep, dshapes))(
         dense_tree)
 
-    def init_rows(table):
+    def init_rows(table, sharded: bool):
         shapes = jax.eval_shape(row_opt.init, table)
-        sh = {k: NamedSharding(mesh, P(MODEL_AXIS, None)
-                               if v.ndim >= 2 else P(MODEL_AXIS))
-              for k, v in shapes.items()}
+        if sharded:
+            sh = {k: NamedSharding(mesh, P(MODEL_AXIS, None)
+                                   if v.ndim >= 2 else P(MODEL_AXIS))
+                  for k, v in shapes.items()}
+        else:
+            sh = {k: rep for k in shapes}
         return jax.jit(row_opt.init, out_shardings=sh)(table)
 
+    rows = {g: init_rows(t, True) for g, t in emb.items()}
+    rows.update({g: init_rows(t, False)
+                 for g, t in aux_row_tables(model, base.params).items()})
     return TrainState(
         params=base.params,
-        opt_state={"dense": dense_state,
-                   "rows": {g: init_rows(t) for g, t in emb.items()}},
+        opt_state={"dense": dense_state, "rows": rows},
         model_state=base.model_state, step=base.step, rng=base.rng)
 
 
@@ -197,15 +204,31 @@ def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
                    else _row_update_allgather)
 
     def train_step(ts: TrainState, batch):
-        # shared record → collective gather → inject → grad → dense update
-        out, rng, new_params, dense_state, per_group = sparse_step_core(
-            model, dense_opt, ts, batch,
-            lambda group, table, gids: sl.lookup(table, gids))
+        # shared record → collective gather → inject → grad → dense update.
+        # Fused groups gather through the collective exchange (tables are
+        # row-sharded); aux tables are replicated, so a plain take suffices.
+        emb_keys = set(ts.params.get("embedding", {}))
 
-        emb = ts.params.get("embedding", {})
-        new_emb = dict(emb)
+        def gather(group, table, gids):
+            if group in emb_keys:
+                return sl.lookup(table, gids)
+            return jnp.take(table, gids.reshape(-1), axis=0).reshape(
+                gids.shape + (table.shape[1],))
+
+        out, rng, new_params, dense_state, per_group = sparse_step_core(
+            model, dense_opt, ts, batch, gather)
+
+        groups = row_table_groups(model, ts.params)
+        new_groups = dict(groups)
         row_states = dict(ts.opt_state["rows"])
         for g, (gids, grads) in per_group.items():
+            if g not in emb_keys:
+                # replicated aux table: single-device row update (GSPMD
+                # gathers the data-sharded grads — allgather-class traffic,
+                # but moments stay O(ids)/step)
+                new_groups[g], row_states[g] = row_opt.update(
+                    groups[g], row_states[g], gids, grads)
+                continue
             state_specs = jax.tree_util.tree_map(
                 lambda x: P(MODEL_AXIS, None) if x.ndim >= 2
                 else P(MODEL_AXIS), row_states[g])
@@ -222,10 +245,12 @@ def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
                 out_specs=(P(MODEL_AXIS, None), state_specs),
                 check_vma=False,
             )
-            new_emb[g], row_states[g] = fn(emb[g], row_states[g], gids,
-                                           grads)
+            new_groups[g], row_states[g] = fn(groups[g], row_states[g],
+                                              gids, grads)
         new_params = dict(new_params)
-        new_params["embedding"] = new_emb
+        new_params["embedding"] = {g: new_groups[g] for g in emb_keys}
+        for k in aux_row_tables(model, ts.params):
+            new_params[k] = new_groups[k]
 
         new_ts = TrainState(params=new_params,
                             opt_state={"dense": dense_state,

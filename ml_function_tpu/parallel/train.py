@@ -160,7 +160,19 @@ def shard_batch(batch: Dict, mesh: Mesh,
 def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
                             donate: bool = True,
                             exchange: str = "psum",
-                            compress=None) -> Callable:
+                            compress=None,
+                            capacity=None) -> Callable:
+    """``capacity``: a2a per-bucket UNIQUE-id cap (None = lossless worst
+    case; tuned value from ``planner.plan_capacity``). With a finite
+    capacity the step output carries ``a2a_overflow`` — the global count of
+    unique ids dropped this step (XLA CSEs the counter's bucketing math
+    with the real exchange, so it is near-free)."""
+    fs = model.feature_set
+    observe_overflow = exchange == "a2a" and capacity is not None
+    if observe_overflow:
+        from .embedding import ShardedLookup
+        sl_obs = ShardedLookup(mesh, fs, mode="a2a", capacity=capacity)
+
     def train_step(ts: TrainState, batch):
         rng, step_rng = jax.random.split(ts.rng)
         grad_fn = jax.value_and_grad(
@@ -171,15 +183,34 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
         params = optax.apply_updates(ts.params, updates)
         new_ts = TrainState(params=params, opt_state=opt_state,
                             model_state=new_state, step=ts.step + 1, rng=rng)
-        return new_ts, {"loss": total, "bce": bce, "logits": logits,
-                        "label": batch["label"]}
+        out = {"loss": total, "bce": bce, "logits": logits,
+               "label": batch["label"]}
+        if observe_overflow:
+            ov = jnp.zeros((), jnp.int32)
+            if "sparse" in batch and len(fs.sparse):
+                offs = jnp.asarray(fs.sparse_offsets())
+                ov = ov + sl_obs.overflow_count(batch["sparse"]
+                                                + offs[None, :])
+            for name, ids in batch.get("seq", {}).items():
+                ov = ov + sl_obs.overflow_count(ids + fs.seq_offset(name))
+            out["a2a_overflow"] = ov
+        return new_ts, out
 
     jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     def run(ts, batch):
-        with sharded_embeddings(mesh, mode=exchange, compress=compress):
+        with sharded_embeddings(mesh, mode=exchange, compress=compress,
+                                capacity=capacity):
             return jitted(ts, batch)
 
+    def lower(ts, batch):
+        # AOT inspection path (utils/hlo_stats.py): trace under the same
+        # collective-exchange context the run path uses
+        with sharded_embeddings(mesh, mode=exchange, compress=compress,
+                                capacity=capacity):
+            return jitted.lower(ts, batch)
+
+    run.lower = lower
     return run
 
 

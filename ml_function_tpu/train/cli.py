@@ -108,7 +108,10 @@ def run(cfg: Config) -> dict:
     model = get_model(cfg.model.name, fs, **hp)
 
     mesh = make_mesh(data=cfg.mesh.data or None, model=cfg.mesh.model)
-    opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate)
+    opt = make_optimizer(cfg.train.optimizer, cfg.train.learning_rate,
+                         schedule=cfg.train.lr_schedule,
+                         decay_steps=cfg.train.lr_decay_steps,
+                         warmup_steps=cfg.train.lr_warmup_steps)
     row_opt = None
     if cfg.train.row_optimizer:
         from ..train.sparse import make_row_optimizer
@@ -138,6 +141,16 @@ def run(cfg: Config) -> dict:
             print(f"resumed from {ck} at step {start_step}", file=sys.stderr)
 
     compress = cfg.mesh.compress or None
+    capacity = None
+    if cfg.mesh.capacity and cfg.mesh.exchange == "a2a":
+        if cfg.mesh.capacity == "auto":
+            from ..parallel.planner import plan_capacity
+            per_dev = cfg.train.batch_size // mesh.shape["data"]
+            capacity = plan_capacity(fs, mesh.shape["model"],
+                                     per_dev * max(len(fs.sparse), 1))
+            print(f"a2a auto capacity: {capacity}", file=sys.stderr)
+        else:
+            capacity = int(cfg.mesh.capacity)
     if row_opt is not None:
         from ..parallel.sparse import make_sparse_sharded_train_step
         train_step = make_sparse_sharded_train_step(
@@ -146,7 +159,8 @@ def run(cfg: Config) -> dict:
     else:
         train_step = make_sharded_train_step(model, opt, mesh,
                                              exchange=cfg.mesh.exchange,
-                                             compress=compress)
+                                             compress=compress,
+                                             capacity=capacity)
     eval_step = make_sharded_eval_step(model, mesh,
                                        exchange=cfg.mesh.exchange,
                                        compress=compress)
@@ -154,9 +168,30 @@ def run(cfg: Config) -> dict:
     if cfg.train.profile_dir:
         jax.profiler.start_trace(cfg.train.profile_dir)
 
+    def eval_now():
+        em = init_metrics()
+        for b in iter_batches(test_data, cfg.train.batch_size):
+            em = eval_step(ts.params, ts.model_state, em,
+                           shard_batch(_host_rows(b), mesh))
+        return metrics_summary(em)
+
+    # eval-driven control (train/control.py): periodic eval + early stop +
+    # best-checkpoint keep — every process runs the identical host logic on
+    # the identical replicated metric, so decisions stay in lockstep
+    stopper = best_tracker = None
+    can_eval = cfg.train.eval_every > 0 and test_data is not None
+    if can_eval:
+        from .control import EarlyStopping, MetricMonitor
+        best_tracker = MetricMonitor(cfg.train.monitor,
+                                     min_delta=cfg.train.min_delta)
+        if cfg.train.patience:
+            stopper = EarlyStopping(cfg.train.patience, cfg.train.monitor,
+                                    min_delta=cfg.train.min_delta)
+
     metrics = init_metrics()
     upd = jax.jit(update_metrics)
     step_i, t0, n_seen = 0, None, 0
+    stopped = False
     for epoch in range(cfg.train.epochs):
         epoch_iter = (_stream_iter(cfg) if train_data is None else
                       iter_batches(train_data, cfg.train.batch_size,
@@ -179,13 +214,37 @@ def run(cfg: Config) -> dict:
             else:
                 n_seen += cfg.train.batch_size
             if cfg.train.log_every and step_i % cfg.train.log_every == 0:
-                print(f"step {step_i} loss {float(out['loss']):.4f}",
+                ov = (f" a2a_overflow {int(out['a2a_overflow'])}"
+                      if "a2a_overflow" in out else "")
+                print(f"step {step_i} loss {float(out['loss']):.4f}{ov}",
                       file=sys.stderr)
             if (cfg.train.checkpoint_dir and cfg.train.checkpoint_every
                     and step_i % cfg.train.checkpoint_every == 0):
                 save_checkpoint(cfg.train.checkpoint_dir, ts,
                                 extra={"config": cfg.to_json(),
                                        "fs_fingerprint": fs.fingerprint})
+            if can_eval and step_i % cfg.train.eval_every == 0:
+                summ = eval_now()
+                print(f"eval @ step {step_i}: {summ}", file=sys.stderr)
+                if best_tracker.improved(summ[cfg.train.monitor], step_i):
+                    if cfg.train.save_best and cfg.train.checkpoint_dir:
+                        import os as _os
+                        save_checkpoint(
+                            _os.path.join(cfg.train.checkpoint_dir, "best"),
+                            ts, keep=1,
+                            extra={"config": cfg.to_json(),
+                                   "fs_fingerprint": fs.fingerprint,
+                                   cfg.train.monitor:
+                                       summ[cfg.train.monitor]})
+                if stopper is not None and stopper.update(
+                        summ[cfg.train.monitor], step_i):
+                    print(f"early stop @ step {step_i} (best "
+                          f"{cfg.train.monitor}={stopper.best:.5f} @ step "
+                          f"{stopper.best_step})", file=sys.stderr)
+                    stopped = True
+                    break
+        if stopped:
+            break
     jax.block_until_ready(ts.params)
     dt = (time.perf_counter() - t0) if t0 else 0.0
 
@@ -208,6 +267,10 @@ def run(cfg: Config) -> dict:
         "steps": step_i,
         "examples_per_sec": (n_seen / dt) if dt > 0 else 0.0,
     }
+    if can_eval:
+        result["stopped_early"] = stopped
+        result["best_step"] = best_tracker.best_step
+        result["best_" + cfg.train.monitor] = best_tracker.best
     if jax.process_index() == 0:
         print(result)
     return result

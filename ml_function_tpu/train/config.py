@@ -56,6 +56,10 @@ class MeshConfig:
     compress: str = ""                 # '' | 'bf16' row-payload ICI compression
     # sparse-row backward routing: 'a2a' owner-routed (default) | 'allgather'
     grad_exchange: str = "a2a"
+    # a2a per-bucket unique-id capacity: '' = lossless worst case (N/M),
+    # 'auto' = planner.plan_capacity from frequency stats, or an int string.
+    # With a finite capacity the step output reports a2a_overflow drops.
+    capacity: str = ""
 
 
 @dataclass
@@ -71,7 +75,16 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0          # steps; 0 → end of training only
-    eval_every: int = 0
+    # eval-driven control (train/control.py — reference EarlyStopping /
+    # ReduceLROnPlateau driver behavior):
+    eval_every: int = 0                # steps between periodic evals (0=off)
+    patience: int = 0                  # early-stop after N bad evals (0=off)
+    min_delta: float = 0.0
+    monitor: str = "auc"               # eval metric to monitor
+    save_best: bool = True             # keep best-eval ckpt in <dir>/best
+    lr_schedule: str = ""              # '' | cosine | exponential | warmup_cosine
+    lr_decay_steps: int = 10_000
+    lr_warmup_steps: int = 0
     log_every: int = 100
     debug_nans: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output

@@ -30,9 +30,14 @@ Semantics:
   ``optax.adam`` while every row is touched each step; diverges (on purpose
   — no momentum tail writes) for cold rows.
 - Supported models: everything whose table lookups go through
-  ``FusedEmbedding`` (the whole registry); models with auxiliary tables
-  outside it (FFM's field blocks, OENN) fall back to the dense path with an
-  actionable error.
+  ``FusedEmbedding`` PLUS models with auxiliary vocab-row tables outside it
+  (FFM's (V, F·K) field blocks, ONN/FAT-DeepFFM, OENN's per-order tables):
+  their ``gather_rows(..., tape_key=...)`` lookups ride the same tape, the
+  aux tables get their own row-optimizer state, and during the inject/grad
+  phase every table is replaced by a zero-row placeholder so no (V, W)
+  cotangent or dense moment ever materializes (VERDICT r3 missing #3 /
+  next #5). Aux tables are detected structurally: top-level params of shape
+  ``(total_vocab, ·)``.
 """
 
 from __future__ import annotations
@@ -191,20 +196,59 @@ def make_row_optimizer(name: str = "adagrad", learning_rate: float = 1e-2,
 # ---------------------------------------------------------------------------
 
 
+def aux_row_tables(model: Model, params) -> Dict[str, jax.Array]:
+    """Top-level params that are vocab-row tables outside FusedEmbedding
+    (FFM blocks, OENN per-order tables): shape ``(total_vocab, ·)``. These
+    ride the sparse-row path via ``gather_rows(..., tape_key=<key>)``."""
+    v = model.feature_set.total_vocab
+    return {k: t for k, t in params.items()
+            if k != "embedding" and hasattr(t, "ndim") and t.ndim == 2
+            and t.shape[0] == v}
+
+
+def _placeholder(t: jax.Array) -> jax.Array:
+    """Zero-ROW stand-in carrying only the width: keeps ``params[key]``
+    indexable during the record/inject phases without ever entering the
+    grad as a (V, W) input."""
+    return jnp.zeros((0,) + t.shape[1:], t.dtype)
+
+
+def sparse_dense_tree(model: Model, params) -> Dict:
+    """params with every row table (fused groups + aux) replaced by
+    placeholders — the tree the dense optimizer owns."""
+    emb = params.get("embedding", {})
+    tree = dict(params)
+    tree["embedding"] = {g: _placeholder(t) for g, t in emb.items()}
+    for k in aux_row_tables(model, params):
+        tree[k] = _placeholder(params[k])
+    return tree
+
+
+def row_table_groups(model: Model, params) -> Dict[str, jax.Array]:
+    """All row-updated tables by tape group: fused column groups
+    ('table'/'linear') + aux keys."""
+    out = dict(params.get("embedding", {}))
+    aux = aux_row_tables(model, params)
+    clash = set(out) & set(aux)
+    assert not clash, (f"aux row tables {clash} collide with FusedEmbedding "
+                       "column-group names — rename the params")
+    out.update(aux)
+    return out
+
+
 def create_sparse_train_state(model: Model, rng, dense_opt, row_opt
                               ) -> TrainState:
     """Like ``create_train_state`` but optimizer state is split:
     ``{"dense": <optax state on non-table params>, "rows": {group: row
-    state}}``. Params keep their normal structure."""
+    state}}`` — covering the fused column groups AND aux row tables.
+    Params keep their normal structure."""
     init_rng, state_rng = jax.random.split(rng)
     params, model_state = model.init(init_rng)
-    emb = params.get("embedding", {})
-    dense_tree = dict(params)
-    dense_tree["embedding"] = {}
+    groups = row_table_groups(model, params)
     return TrainState(
         params=params,
-        opt_state={"dense": dense_opt.init(dense_tree),
-                   "rows": {g: row_opt.init(t) for g, t in emb.items()}},
+        opt_state={"dense": dense_opt.init(sparse_dense_tree(model, params)),
+                   "rows": {g: row_opt.init(t) for g, t in groups.items()}},
         model_state=model_state,
         step=jnp.zeros((), jnp.int32),
         rng=state_rng,
@@ -218,12 +262,12 @@ def sparse_step_core(model: Model, dense_opt, ts: TrainState, batch,
 
     ``gather_fn(group, table, global_ids) -> (*ids.shape, W) rows`` — plain
     take on the single-device path, the collective exchange on the sharded
-    path. Returns ``(out_dict, rng, new_dense_params_with_empty_embedding,
+    path (``group`` is a fused column group or an aux-table key). Returns
+    ``(out_dict, rng, new_dense_params_with_placeholder_tables,
     dense_state, per_group (ids, grads) lists)``."""
     rng, step_rng = jax.random.split(ts.rng)
-    emb = ts.params.get("embedding", {})
-    dense_tree = dict(ts.params)
-    dense_tree["embedding"] = {}
+    groups = row_table_groups(model, ts.params)
+    dense_tree = sparse_dense_tree(model, ts.params)
 
     # 1) record the lookup ids (forward is dead code except id exprs)
     rec = RowTape("record")
@@ -233,13 +277,19 @@ def sparse_step_core(model: Model, dense_opt, ts: TrainState, batch,
                         rng=step_rng)
     except KeyError as e:
         raise ValueError(
-            f"model {model.name!r} reads embedding params outside "
-            f"FusedEmbedding lookups (missing key {e}); the sparse-row "
-            "path supports FusedEmbedding-only tables — use the dense "
-            "path for this model") from None
+            f"model {model.name!r} reads table params outside "
+            f"FusedEmbedding / tape-keyed gather_rows lookups (missing key "
+            f"{e}); route the lookup through gather_rows(..., tape_key=...) "
+            "or use the dense path for this model") from None
+    for g, _ in rec.records:
+        if g not in groups:
+            raise ValueError(
+                f"RowTape recorded unknown group {g!r} — gather_rows "
+                f"tape_key must name a top-level (total_vocab, ·) param "
+                f"(have: {sorted(groups)})")
 
     # 2) gather the touched rows outside the loss
-    rows_in = [gather_fn(g, emb[g], gid) for g, gid in rec.records]
+    rows_in = [gather_fn(g, groups[g], gid) for g, gid in rec.records]
 
     # 3) grads w.r.t. dense params AND the gathered rows
     def loss_with(dtree, rows_list):
@@ -256,11 +306,11 @@ def sparse_step_core(model: Model, dense_opt, ts: TrainState, batch,
                                         dense_tree)
     new_dense = optax.apply_updates(dense_tree, upd)
 
-    # 5) regroup (ids, grads) per column group for the row update stage
+    # 5) regroup (ids, grads) per table group for the row update stage
     per_group = {}
-    for g in emb:
+    for g, table in groups.items():
         gids = [gid.reshape(-1) for (grp, gid) in rec.records if grp == g]
-        grads = [gr.reshape(-1, emb[g].shape[1])
+        grads = [gr.reshape(-1, table.shape[1])
                  for (grp, _), gr in zip(rec.records, g_rows) if grp == g]
         if gids:
             per_group[g] = (jnp.concatenate(gids), jnp.concatenate(grads))
@@ -284,14 +334,17 @@ def make_sparse_train_step(model: Model, dense_opt, row_opt,
     def train_step(ts: TrainState, batch) -> Tuple[TrainState, Dict]:
         out, rng, new_params, dense_state, per_group = sparse_step_core(
             model, dense_opt, ts, batch, gather)
-        emb = ts.params.get("embedding", {})
-        new_emb = dict(emb)
+        groups = row_table_groups(model, ts.params)
+        new_groups = dict(groups)
         row_states = dict(ts.opt_state["rows"])
         for g, (gids, grads) in per_group.items():
-            new_emb[g], row_states[g] = row_opt.update(
-                emb[g], row_states[g], gids, grads)
+            new_groups[g], row_states[g] = row_opt.update(
+                groups[g], row_states[g], gids, grads)
         new_params = dict(new_params)
-        new_params["embedding"] = new_emb
+        new_params["embedding"] = {g: new_groups[g]
+                                   for g in ts.params.get("embedding", {})}
+        for k in aux_row_tables(model, ts.params):
+            new_params[k] = new_groups[k]
 
         new_ts = TrainState(params=new_params,
                             opt_state={"dense": dense_state,

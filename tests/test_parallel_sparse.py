@@ -124,19 +124,42 @@ def test_sharded_sparse_seq_model_runs_and_learns(mesh42):
     assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
 
 
-def test_sharded_sparse_rejects_aux_table_models(mesh42):
-    """The sharded path shares the single-device path's actionable error for
-    models with tables outside FusedEmbedding (code-review r3 finding)."""
-    fs, data = make_criteo_like(n_rows=32, n_dense=0, n_sparse=3,
+@pytest.mark.parametrize("name", ["ffm", "oenn"])
+def test_sharded_sparse_supports_aux_table_models(mesh42, name):
+    """Aux-table models on the SHARDED sparse path (VERDICT r3 next #5 —
+    formerly the rejection test): replicated aux tables + row states,
+    multi-step equality vs the single-device sparse step."""
+    fs, data = make_criteo_like(n_rows=96, n_dense=2, n_sparse=3,
                                 vocab_size=9, embed_dim=4, seed=5)
-    model = get_model("ffm", fs)
-    row_opt = RowAdagrad()
-    ts = create_sparse_sharded_state(model, jax.random.PRNGKey(0),
-                                     optax.adagrad(0.1), row_opt, mesh42)
-    step = make_sparse_sharded_train_step(model, optax.adagrad(0.1), row_opt,
-                                          mesh42, donate=False)
-    with pytest.raises(ValueError, match="sparse-row path"):
-        step(ts, shard_batch(next(iter_batches(data, 32)), mesh42))
+    hp = {} if name == "ffm" else {"hidden": (8,)}
+    model = get_model(name, fs, **hp)
+    row_opt = RowAdagrad(0.05)
+    dense_opt = optax.adam(5e-3)
+    ts_s = create_sparse_train_state(model, jax.random.PRNGKey(0),
+                                     dense_opt, row_opt)
+    step_s = make_sparse_train_step(model, dense_opt, row_opt, donate=False)
+    ts_p = create_sparse_sharded_state(model, jax.random.PRNGKey(0),
+                                       dense_opt, row_opt, mesh42)
+    step_p = make_sparse_sharded_train_step(model, dense_opt, row_opt,
+                                            mesh42, donate=False)
+    for b in list(iter_batches(data, 32))[:2]:
+        ts_s, out_s = step_s(ts_s, b)
+        ts_p, out_p = step_p(ts_p, shard_batch(b, mesh42))
+        np.testing.assert_allclose(float(out_s["loss"]),
+                                   float(out_p["loss"]), rtol=1e-5)
+    v = fs.total_vocab
+    aux = [k for k, t in ts_s.params.items()
+           if k != "embedding" and hasattr(t, "ndim") and t.ndim == 2
+           and t.shape[0] == v]
+    assert aux
+    for k in aux:
+        np.testing.assert_allclose(np.asarray(ts_p.params[k]),
+                                   np.asarray(ts_s.params[k]), rtol=1e-4,
+                                   atol=1e-5)
+    for grp in ts_s.params["embedding"]:
+        np.testing.assert_allclose(
+            np.asarray(ts_p.params["embedding"][grp])[:v],
+            np.asarray(ts_s.params["embedding"][grp]), rtol=1e-4, atol=1e-5)
 
 
 def test_sharded_sparse_with_bf16_compress(mesh42):
