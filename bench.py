@@ -599,13 +599,26 @@ def run_board(steps: int, only=None):
                 f"B={kw['batch']}, L={kw['seq_len']}")
 
     def sim_tier():
-        # lifelong: SIM end-to-end over a 16k-key long sequence; the ESU
-        # self-attention rides the Pallas flash kernel (auto at Lk >= 512)
-        eps = bench_seq_model("sim", 4, batch=8, seq_len=64, long_seq=16384,
-                              hp={"search": "hard",
+        # PRODUCTION shape (VERDICT r3 next #4): SIM's whole design is
+        # GSU-reduce-then-ESU — soft search scores the 16k stream against
+        # the candidate ON-DEVICE (one einsum, MXU) and lax.top_k keeps
+        # 256 keys for the ESU, so the batch can be production-sized.
+        # Quality parity of reduced vs full ESU on planted data:
+        # tests/test_models_longseq.py::test_sim_reduced_esu_matches_full.
+        eps = bench_seq_model("sim", 4, batch=512, seq_len=64,
+                              long_seq=16384,
+                              hp={"search": "soft", "top_k": 256,
                                   "long_behavior": ("hist_long",)})
-        add("sim train (16k keys, flash ESU)", f"{eps:,.0f} ex/s/chip",
-            "B=8, L_long=16384")
+        add("sim train (16k keys, GSU top-256 -> ESU)",
+            f"{eps:,.0f} ex/s/chip", "B=512, L_long=16384, soft search")
+        # stress row: flash ESU over the RAW 16k stream (kernel ceiling,
+        # not a model-throughput number — kept for the attention kernel)
+        eps2 = bench_seq_model("sim", 4, batch=8, seq_len=64,
+                               long_seq=16384,
+                               hp={"search": "hard",
+                                   "long_behavior": ("hist_long",)})
+        add("sim flash-ESU stress (raw 16k keys)", f"{eps2:,.0f} ex/s/chip",
+            "B=8, L_long=16384, no GSU reduction")
 
     def store_tier():
         med, spread = bench_lookup_tight()

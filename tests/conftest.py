@@ -53,6 +53,7 @@ _SLOW_NODEIDS = (
     "test_models_longseq.py::test_longseq_forward_and_grad[mimn",
     "test_models_longseq.py::test_longseq_forward_and_grad[hpmn",
     "test_models_longseq.py::test_longseq_forward_and_grad[sim",
+    "test_models_longseq.py::test_sim_reduced_esu_matches_full",
     # multitask deep-coverage (mmoe_learns + esmm stay in default)
     "test_models_multitask.py::test_ple_private_experts_untouched_by_other_task",
     "test_models_multitask.py::test_ple_learns_and_isolates_gradients",
@@ -66,6 +67,7 @@ _SLOW_NODEIDS = (
     # DICM forward/grad, CLI sparse run)
     "test_multiprocess.py::test_two_process_cli_train_checkpoint_resume",
     "test_multiprocess.py::test_two_process_sparse_row_path",
+    "test_multiprocess.py::test_kill_a_worker_elastic_recovery",
     "test_models_image.py::test_dicm_learns_visual_signal",
     "test_parallel_sparse.py::test_sharded_sparse_matches_single_device[adam-a2a]",
     "test_parallel_sparse.py::test_sharded_sparse_matches_single_device[adagrad-allgather]",

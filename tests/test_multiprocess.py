@@ -187,3 +187,53 @@ def test_two_process_sparse_row_path(tmp_path):
     checksum = float(sum(np.sum(np.abs(np.asarray(l)))
                          for l in jax.tree_util.tree_leaves(ts.params)))
     np.testing.assert_allclose(results[0]["checksum"], checksum, rtol=1e-5)
+
+
+def test_kill_a_worker_elastic_recovery(tmp_path):
+    """The full elastic sequence ACROSS REAL PROCESSES (VERDICT r3 next #6):
+    3 jax.distributed workers train + checkpoint; worker 2 dies abruptly
+    (os._exit, no cleanup); the survivors detect it via Heartbeat within
+    the timeout and exit cleanly; a relaunch of all 3 resumes from the
+    sharded checkpoint at the pre-death step and finishes training with
+    identical results on every process."""
+    worker = os.path.join(os.path.dirname(__file__), "elastic_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    victim = 2
+
+    def launch(phase, port):
+        return [subprocess.Popen(
+            [sys.executable, worker, str(i), "3", str(port), str(tmp_path),
+             str(phase), str(victim)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(3)]
+
+    procs = launch(1, _free_port())
+    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    # victim died with its planted code; survivors exited cleanly
+    assert procs[victim].returncode == 17, outs[victim]
+    for i in (0, 1):
+        assert procs[i].returncode == 0, f"survivor {i}:\n{outs[i]}"
+        with open(tmp_path / f"detected_{i}.json") as f:
+            det = json.load(f)
+        assert det["stale"] == victim
+    # one sharded checkpoint at step 4 with all 3 shard files
+    cks = sorted(os.listdir(tmp_path / "ckpt"))
+    assert cks == ["ckpt_0000000004"]
+    files = sorted(os.listdir(tmp_path / "ckpt" / cks[0]))
+    assert {"shards_00000.npz", "shards_00001.npz",
+            "shards_00002.npz"} <= set(files)
+
+    # restart controller: relaunch ALL 3 (fresh port, fresh heartbeat dir)
+    procs = launch(2, _free_port())
+    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"relaunched {i}:\n{outs[i]}"
+    results = []
+    for i in range(3):
+        with open(tmp_path / f"resumed_{i}.json") as f:
+            results.append(json.load(f))
+    assert results[0] == results[1] == results[2]
+    assert results[0]["step"] == 6
+    assert all(np.isfinite(l) for l in results[0]["losses"])
