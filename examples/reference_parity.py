@@ -81,7 +81,7 @@ def run_ours(fs, train, test, args):
     t0 = time.perf_counter()
     ts, res = fit(model, train, epochs=args.epochs, batch_size=args.batch,
                   learning_rate=args.lr, verbose=True,
-                  steps_per_call=args.steps_per_call)
+                  steps_per_call=args.steps_per_call, seed=args.seed)
     dt = time.perf_counter() - t0
     p = Scorer(model, ts.params, ts.model_state,
                batch_size=args.batch).predict_proba(test)
@@ -660,6 +660,8 @@ def main():
     ap.add_argument("--cin", type=int, nargs="+", default=[64, 64])
     ap.add_argument("--steps-per-call", type=int, default=8,
                     help="chained steps per dispatch (amortizes link latency)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init seed for OUR stack (TF varies per run)")
     ap.add_argument("--skip-tf", action="store_true")
     ap.add_argument("--skip-ours", action="store_true")
     args = ap.parse_args()

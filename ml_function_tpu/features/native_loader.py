@@ -132,6 +132,19 @@ def load_criteo(path: str, *, n_dense: int = 13, n_sparse: int = 26,
                                 n_threads=n_threads)
 
 
+def _tree_concat(a, b):
+    """Row-concatenate two (possibly nested) dict-of-array batches."""
+    if isinstance(a, dict):
+        return {k: _tree_concat(a[k], b[k]) for k in a}
+    return np.concatenate([a, b])
+
+
+def _tree_slice(v, sl):
+    if isinstance(v, dict):
+        return {k: _tree_slice(x, sl) for k, x in v.items()}
+    return v[sl]
+
+
 class CriteoFileIterator:
     """Streaming chunked reader: yields encoded batches from a Criteo TSV of
     any size with a single background prefetch thread (double-buffered — the
@@ -185,6 +198,12 @@ class CriteoFileIterator:
         return (self.shard is None
                 or chunk_idx % self.shard[1] == self.shard[0])
 
+    def _parse(self, chunk: bytes) -> Dict[str, np.ndarray]:
+        """Chunk bytes -> dict of arrays; subclasses override (the
+        behavior-sequence stream reuses the chunking/double-buffer/carry
+        machinery with its own parser, features/behavior_stream.py)."""
+        return parse_buffer(chunk, **self.kw)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         bs = self.batch_size
         chunks = self._read_chunks()
@@ -197,7 +216,7 @@ class CriteoFileIterator:
             try:
                 for c in chunks:
                     slots.acquire()
-                    parsed.append(parse_buffer(c, **self.kw))
+                    parsed.append(self._parse(c))
                     ready.release()
             except BaseException as e:  # surfaced in consumer
                 parsed.append(e)  # type: ignore[arg-type]
@@ -220,12 +239,11 @@ class CriteoFileIterator:
             if isinstance(item, BaseException):
                 raise item
             if carry is not None:
-                item = {k: np.concatenate([carry[k], item[k]])
-                        for k in item}
+                item = _tree_concat(carry, item)
             n_full = len(item["label"]) // bs * bs
             for i in range(0, n_full, bs):
-                yield {k: v[i:i + bs] for k, v in item.items()}
-            carry = ({k: v[n_full:] for k, v in item.items()}
+                yield _tree_slice(item, slice(i, i + bs))
+            carry = (_tree_slice(item, slice(n_full, None))
                      if n_full < len(item["label"]) else None)
         t.join()
 

@@ -213,8 +213,11 @@ class ShardedLookup:
             body = partial(_a2a_lookup, capacity=cap, compress=self.compress)
             # TODO(vma): the closing all_gather(tiled=True) replicates the
             # output over `model`, but the static vma checker can't see
-            # through the a2a pipeline — re-enable once it can (correctness
-            # pinned by tests/test_parallel.py a2a-vs-dense equality).
+            # through the a2a pipeline (re-verified on jax 0.9.0, r4) —
+            # re-enable once it can. Until then the invariant is guarded
+            # MECHANICALLY: tests/test_vma_replication.py compares the
+            # per-device buffers the replication claim says must be equal
+            # (plus tests/test_parallel.py a2a-vs-dense equality).
             kwargs["check_vma"] = False
         elif self.mode == "psum":
             body = partial(_local_lookup, compress=self.compress)

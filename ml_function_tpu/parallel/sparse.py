@@ -234,9 +234,11 @@ def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
                 else P(MODEL_AXIS), row_states[g])
             # TODO(vma): the static checker cannot infer that values derived
             # from all_gather(tiled=True) are replicated over 'data' (same
-            # limitation as the a2a exchange, parallel/embedding.py) —
-            # re-enable once it can see through tiled gathers. Correctness
-            # is pinned by tests/test_parallel_sparse.py equality vs the
+            # limitation as the a2a exchange, parallel/embedding.py;
+            # re-verified on jax 0.9.0, r4) — re-enable once it can.
+            # Mechanically guarded instead: tests/test_vma_replication.py
+            # bit-compares every data replica of the updated shard, and
+            # tests/test_parallel_sparse.py pins equality vs the
             # single-device step.
             fn = jax.shard_map(
                 _row_update, mesh=mesh,

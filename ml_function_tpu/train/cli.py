@@ -55,13 +55,33 @@ def build_data(cfg: Config):
                                 n_dense=d.n_dense,
                                 embed_dim=cfg.model.embed_dim)
         return fs, None
+    if d.source == "behavior_stream":
+        # Out-of-core lifelong-sequence training: behavior CSVs stream
+        # through chunked parsing on a background thread
+        # (features/behavior_stream.py) — the schema is fixed by the
+        # integer-id bucket spaces, like the Criteo hash stream.
+        from ..features.behavior_stream import behavior_stream_feature_set
+        fs = behavior_stream_feature_set(
+            item_buckets=d.hash_buckets, cate_buckets=d.cate_buckets,
+            seq_len=d.seq_len or 90, embed_dim=cfg.model.embed_dim,
+            long_seq_len=d.long_seq_len)
+        return fs, None
     raise ValueError(f"unknown data source {d.source!r}")
 
 
 def _stream_iter(cfg: Config):
-    from ..features.native_loader import CriteoFileIterator
     shard = ((jax.process_index(), jax.process_count())
              if jax.process_count() > 1 else None)  # disjoint per-host chunks
+    if cfg.data.source == "behavior_stream":
+        from ..features.behavior_stream import BehaviorFileIterator
+        return iter(BehaviorFileIterator(
+            cfg.data.path, cfg.train.batch_size,
+            seq_len=cfg.data.seq_len or 90,
+            long_seq_len=cfg.data.long_seq_len,
+            item_buckets=cfg.data.hash_buckets,
+            cate_buckets=cfg.data.cate_buckets,
+            chunk_bytes=cfg.data.chunk_mb << 20, shard=shard))
+    from ..features.native_loader import CriteoFileIterator
     return iter(CriteoFileIterator(
         cfg.data.path, cfg.train.batch_size, n_dense=cfg.data.n_dense,
         n_sparse=cfg.data.n_sparse, hash_buckets=cfg.data.hash_buckets,
@@ -94,11 +114,20 @@ def run(cfg: Config) -> dict:
     if data is None:  # stream source
         train_data, test_data = None, None
         if cfg.data.eval_path:
-            from ..features.native_loader import load_criteo
-            test_data = load_criteo(cfg.data.eval_path,
-                                    n_dense=cfg.data.n_dense,
-                                    n_sparse=cfg.data.n_sparse,
-                                    hash_buckets=cfg.data.hash_buckets)
+            if cfg.data.source == "behavior_stream":
+                from ..features.behavior_stream import load_behavior_stream
+                _, test_data = load_behavior_stream(
+                    cfg.data.eval_path, embed_dim=cfg.model.embed_dim,
+                    seq_len=cfg.data.seq_len or 90,
+                    long_seq_len=cfg.data.long_seq_len,
+                    item_buckets=cfg.data.hash_buckets,
+                    cate_buckets=cfg.data.cate_buckets)
+            else:
+                from ..features.native_loader import load_criteo
+                test_data = load_criteo(cfg.data.eval_path,
+                                        n_dense=cfg.data.n_dense,
+                                        n_sparse=cfg.data.n_sparse,
+                                        hash_buckets=cfg.data.hash_buckets)
     else:
         train_data, test_data = train_test_split(data, cfg.data.test_frac,
                                                  seed=cfg.train.seed)

@@ -33,7 +33,7 @@ class ModelConfig:
 
 @dataclass
 class DataConfig:
-    source: str = "synthetic"          # synthetic | csv | stream
+    source: str = "synthetic"    # synthetic | csv | stream | behavior_stream
     path: Optional[str] = None         # csv/tsv path
     n_rows: int = 100_000
     n_dense: int = 13
@@ -46,6 +46,9 @@ class DataConfig:
     hash_buckets: int = 1 << 20
     eval_path: Optional[str] = None    # held-out TSV for eval (loaded whole)
     chunk_mb: int = 64                 # stream chunk size
+    # behavior_stream source (features/behavior_stream.py):
+    cate_buckets: int = 1 << 10        # category-id bucket space
+    long_seq_len: int = 0              # >0 adds the hist_long lifelong field
 
 
 @dataclass
