@@ -30,6 +30,14 @@ class Word2VecConfig:
     epochs: int = 1
     min_steps: int = 400   # small corpora loop extra epochs up to this
     seed: int = 0
+    # reference embedding-trainer callbacks (walk_core_model.py:203-227:
+    # EarlyStopping + ReduceLROnPlateau + ModelCheckpoint(save_best_only)),
+    # driven by the per-epoch mean loss (train/control.py):
+    patience: int = 0            # stop after N non-improving epochs (0=off)
+    plateau_factor: float = 0.0  # >0 enables LR reduction on plateau
+    plateau_patience: int = 2
+    min_lr: float = 1e-5
+    keep_best: bool = True       # return the best-loss epoch's embeddings
 
 
 def _noise_table(counts: np.ndarray, power: float = 0.75,
@@ -53,7 +61,10 @@ def train_word2vec(pairs: np.ndarray, vocab_size: int,
 
     neg_k = cfg.negatives
     import optax
-    opt = optax.adam(cfg.learning_rate)
+    # inject_hyperparams so ReduceLROnPlateau can retune the LR between
+    # epochs without retracing (train/optimizers.set_learning_rate)
+    opt = optax.inject_hyperparams(optax.adam)(
+        learning_rate=cfg.learning_rate)
     opt_state = opt.init((emb_in, emb_out))
 
     @jax.jit
@@ -79,14 +90,42 @@ def train_word2vec(pairs: np.ndarray, vocab_size: int,
         emb_in, emb_out = optax.apply_updates((emb_in, emb_out), updates)
         return (emb_in, emb_out, opt_state, key), loss
 
+    from ..train.control import EarlyStopping, ReduceLROnPlateau
+    from ..train.optimizers import set_learning_rate
+
+    stopper = (EarlyStopping(cfg.patience, monitor="loss")
+               if cfg.patience else None)
+    reducer = (ReduceLROnPlateau(base_lr=cfg.learning_rate,
+                                 factor=cfg.plateau_factor,
+                                 patience=cfg.plateau_patience,
+                                 min_lr=cfg.min_lr, monitor="loss")
+               if cfg.plateau_factor else None)
+
     carry = (emb_in, emb_out, opt_state, r2)
     bs = min(cfg.batch_size, len(pairs))
     n = max((len(pairs) // bs) * bs, bs)
     steps_per_epoch = max(n // bs, 1)
     epochs = max(cfg.epochs, -(-cfg.min_steps // steps_per_epoch))
+    best = None
+    best_loss = float("inf")
     for epoch in range(epochs):
+        ep_losses = []
         for i in range(0, n - bs + 1, bs):
             carry, loss = step(carry, jnp.asarray(pairs[i:i + bs]))
+            ep_losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(ep_losses)))
+        if cfg.keep_best and mean_loss < best_loss:
+            best_loss = mean_loss
+            best = np.asarray(carry[0])
+        if reducer is not None:
+            new_lr = reducer.update(mean_loss, epoch)
+            if new_lr is not None:
+                carry = (carry[0], carry[1],
+                         set_learning_rate(carry[2], new_lr), carry[3])
+        if stopper is not None and stopper.update(mean_loss, epoch):
+            break
+    if cfg.keep_best and best is not None:
+        return best
     return np.asarray(carry[0])
 
 

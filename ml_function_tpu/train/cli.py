@@ -170,21 +170,29 @@ def run(cfg: Config) -> dict:
             print(f"resumed from {ck} at step {start_step}", file=sys.stderr)
 
     compress = cfg.mesh.compress or None
-    capacity = None
-    if cfg.mesh.capacity and cfg.mesh.exchange == "a2a":
-        if cfg.mesh.capacity == "auto":
+
+    def resolve_capacity(setting: str, tag: str):
+        if not setting:
+            return None
+        if setting == "auto":
             from ..parallel.planner import plan_capacity
             per_dev = cfg.train.batch_size // mesh.shape["data"]
-            capacity = plan_capacity(fs, mesh.shape["model"],
-                                     per_dev * max(len(fs.sparse), 1))
-            print(f"a2a auto capacity: {capacity}", file=sys.stderr)
-        else:
-            capacity = int(cfg.mesh.capacity)
+            cap = plan_capacity(fs, mesh.shape["model"],
+                                per_dev * max(len(fs.sparse), 1))
+            print(f"{tag} auto capacity: {cap}", file=sys.stderr)
+            return cap
+        return int(setting)
+
+    capacity = (resolve_capacity(cfg.mesh.capacity, "a2a")
+                if cfg.mesh.exchange == "a2a" else None)
     if row_opt is not None:
         from ..parallel.sparse import make_sparse_sharded_train_step
         train_step = make_sparse_sharded_train_step(
             model, opt, row_opt, mesh, exchange=cfg.mesh.exchange,
-            compress=compress, grad_exchange=cfg.mesh.grad_exchange)
+            compress=compress, grad_exchange=cfg.mesh.grad_exchange,
+            grad_capacity=(resolve_capacity(cfg.mesh.grad_capacity,
+                                            "grad-a2a")
+                           if cfg.mesh.grad_exchange == "a2a" else None))
     else:
         train_step = make_sharded_train_step(model, opt, mesh,
                                              exchange=cfg.mesh.exchange,

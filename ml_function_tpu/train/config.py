@@ -63,6 +63,8 @@ class MeshConfig:
     # 'auto' = planner.plan_capacity from frequency stats, or an int string.
     # With a finite capacity the step output reports a2a_overflow drops.
     capacity: str = ""
+    # same for the sparse-row BACKWARD's owner-routed buckets
+    grad_capacity: str = ""
 
 
 @dataclass

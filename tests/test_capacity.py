@@ -130,3 +130,17 @@ def test_cli_auto_capacity_runs():
         "--config.mesh.exchange=a2a", "--config.mesh.capacity=auto",
     ])
     assert np.isfinite(res["train"]["logloss"])
+
+
+def test_cli_grad_capacity_auto_runs():
+    """Sparse path with owner-routed backward + auto grad capacity."""
+    from ml_function_tpu.train.cli import main
+    res = main([
+        "--config.model.name=fm", "--config.data.n_rows=256",
+        "--config.data.vocab_size=40", "--config.train.batch_size=64",
+        "--config.train.log_every=0", "--config.mesh.model=2",
+        "--config.train.row_optimizer=adagrad",
+        "--config.mesh.grad_exchange=a2a",
+        "--config.mesh.grad_capacity=auto",
+    ])
+    assert np.isfinite(res["train"]["logloss"])

@@ -88,3 +88,31 @@ def test_pre_weight_roundtrip():
     w = pre_weight_from_embeddings(embs, vocab, vocab_size=4)
     assert w.shape == (4, 4)
     assert (w[1] == 1).all() and (w[2] == 2).all() and (w[0] == 0).all()
+
+
+def test_word2vec_callbacks_early_stop_and_best():
+    """Reference embedding-trainer callbacks (walk_core_model.py:203-227):
+    EarlyStopping on the epoch loss + ReduceLROnPlateau + keep-best. With a
+    hot LR the loss bounces; the trainer must stop before the full epoch
+    budget and the returned embeddings must come from the best epoch (and
+    still place co-occurring nodes near each other)."""
+    import numpy as np
+    from ml_function_tpu.embedding_pretrain.word2vec import (Word2VecConfig,
+                                                             train_word2vec)
+    rng = np.random.default_rng(0)
+    # two cliques: pairs co-occur within a clique only
+    pairs = []
+    for lo, hi in ((0, 8), (8, 16)):
+        for _ in range(400):
+            pairs.append(rng.integers(lo, hi, 2))
+    pairs = np.asarray(pairs, np.int32)
+    emb = train_word2vec(pairs, 16, Word2VecConfig(
+        dim=8, epochs=40, min_steps=0, batch_size=128, learning_rate=0.05,
+        patience=3, plateau_factor=0.5, plateau_patience=1, seed=0))
+    assert emb.shape == (16, 8)
+    # clique structure: within-clique similarity above cross-clique
+    e = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
+    sim = e @ e.T
+    within = (sim[:8, :8].mean() + sim[8:, 8:].mean()) / 2
+    across = sim[:8, 8:].mean()
+    assert within > across + 0.05, (within, across)
