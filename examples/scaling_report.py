@@ -85,7 +85,8 @@ def probe(args) -> dict:
         step = make_sparse_sharded_train_step(
             model, opt, row_opt, mesh, donate=False,
             exchange=args.exchange, compress=args.compress or None,
-            grad_exchange=args.grad_exchange)
+            grad_exchange=args.grad_exchange,
+            grad_capacity=args.grad_capacity or None)
     else:
         ts = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh)
         step = make_sharded_train_step(model, opt, mesh, donate=False,
@@ -97,6 +98,7 @@ def probe(args) -> dict:
         "data": args.data, "model_axis": args.model_axis,
         "exchange": args.exchange, "compress": args.compress,
         "grad_exchange": args.grad_exchange if args.row_optimizer else "",
+        "grad_capacity": args.grad_capacity,
         "row_optimizer": args.row_optimizer,
         "batch_per_chip": args.batch_per_chip,
         "counts": stats.counts, "bytes": stats.bytes,
@@ -132,6 +134,7 @@ def main():
     ap.add_argument("--compress", default="")
     ap.add_argument("--row-optimizer", default="")
     ap.add_argument("--grad-exchange", default="a2a")
+    ap.add_argument("--grad-capacity", type=int, default=0)
     ap.add_argument("--quick", action="store_true",
                     help="8-chip configs only")
     args = ap.parse_args()
@@ -166,11 +169,15 @@ def main():
                 rows.append(r)
                 print(json.dumps(r), flush=True)
 
-    # sparse-row backward comparison at the 852k-id shape (B=32768 × 26)
-    for gx in ("a2a", "allgather"):
+    # sparse-row backward comparison at the 852k-id shape (B=32768 × 26):
+    # allgather vs owner-routed a2a at lossless worst-case AND at a tuned
+    # capacity (30k ≈ what plan_capacity derives for a power-law stream
+    # with ~23k uniques per bucket)
+    for gx, cap in (("a2a", 0), ("a2a", 30000), ("allgather", 0)):
         r = run_probe(8, model="deepfm", data=4, model_axis=2,
                       batch_per_chip=32768, exchange="psum",
-                      row_optimizer="adagrad", grad_exchange=gx)
+                      row_optimizer="adagrad", grad_exchange=gx,
+                      grad_capacity=cap)
         r["t_comm_ms"] = 1e3 * (r["wire_bytes"] / ici.bytes_per_s
                                 + r["total_count"] * ici.hop_latency_s)
         rows.append(r)
@@ -191,8 +198,9 @@ def main():
     for r in rows:
         if not r.get("row_optimizer"):
             continue
-        print(f"| deepfm sparse {r['grad_exchange']} | {r['n_devices']} | "
-              f"{r['total_count']} collectives | "
+        cap = r.get("grad_capacity") or "worst-case"
+        print(f"| deepfm sparse {r['grad_exchange']} (cap {cap}) | "
+              f"{r['n_devices']} | {r['total_count']} collectives | "
               f"{r['wire_bytes'] / 1e6:.1f} MB/step |")
 
 
