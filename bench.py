@@ -321,8 +321,10 @@ def bench_sparse_path(vocab_per_field: int, steps: int = 10,
     return out
 
 
-def bench_scoring(steps: int = 50) -> float:
-    """Inference throughput: DeepFM forward + sigmoid (the serving path)."""
+def bench_scoring(steps: int = 50, quantize: str = "") -> float:
+    """Inference throughput: DeepFM forward + sigmoid (the serving path).
+    ``quantize='int8'`` scores from int8 row tables
+    (serving.quantize_for_serving — 4x less table HBM)."""
     import jax
     import jax.numpy as jnp
 
@@ -332,6 +334,9 @@ def bench_scoring(steps: int = 50) -> float:
     fs = criteo_feature_set([VOCAB] * N_SPARSE, n_dense=N_DENSE, embed_dim=DIM)
     model = get_model("deepfm", fs, hidden=HIDDEN)
     params, _ = model.init(jax.random.PRNGKey(0))
+    if quantize:
+        from ml_function_tpu.serving import quantize_for_serving
+        params = quantize_for_serving(model, params)
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     batch = {
         "dense": jax.random.uniform(k1, (BATCH, N_DENSE), jnp.float32),
@@ -356,7 +361,7 @@ def bench_scoring(steps: int = 50) -> float:
 
     per = (run_n(5 + steps) - run_n(5)) / steps
     rate = BATCH / per
-    log(f"scoring: {per*1e3:.3f} ms/batch -> {rate/1e6:,.2f}M examples/s/chip")
+    log(f"scoring{'+' + quantize if quantize else ''}: {per*1e3:.3f} ms/batch -> {rate/1e6:,.2f}M examples/s/chip")
     return rate
 
 
@@ -631,6 +636,9 @@ def run_board(steps: int, only=None):
         try:
             add("deepfm scoring", f"{bench_scoring()/1e6:,.2f}M ex/s/chip",
                 f"B={BATCH}")
+            add("deepfm scoring int8 tables",
+                f"{bench_scoring(quantize='int8')/1e6:,.2f}M ex/s/chip",
+                f"B={BATCH}, 4x less table HBM")
         finally:
             BATCH = b_prev
 

@@ -151,7 +151,41 @@ def export_model(path: str, model_name: str, fs: FeatureSet, params,
     return path
 
 
-def load_scorer(path: str, batch_size: int = 4096) -> Scorer:
+def quantize_for_serving(model: Model, params) -> Dict[str, Any]:
+    """int8-quantize every vocab-row table for serving: the fused cross
+    table plus aux (V, W>1) tables (FFM blocks, OENN orders) become
+    ``{'q': int8, 'scale': f32 (V, 1)}`` (``ops.embedding.quantize_table``,
+    per-row absmax). The (V, 1) linear group stays f32 — int8+scale would
+    be LARGER than the float column. ~4× less serving HBM for the tables
+    (the dominant memory term); v5e gather cost is per-row, so scoring
+    throughput is unchanged (PERF.md). Training states cannot be
+    quantized (no vjp through the int8 gather) — serving only."""
+    from .ops.embedding import quantize_fused, quantize_table
+    from .train.sparse import aux_row_tables
+
+    out = dict(params)
+    emb = dict(params.get("embedding", {}))
+    if "table" in emb and "linear" in emb:
+        # both column groups pack into ONE int8 (V, D+3) row — one serving
+        # gather replaces the f32 table+linear pair (no int8 width cliff
+        # through 16, measured)
+        emb = quantize_fused(jnp.asarray(emb["table"]),
+                             jnp.asarray(emb["linear"]))
+    else:
+        for g, t in emb.items():
+            if hasattr(t, "ndim") and t.ndim == 2 and t.shape[1] > 1:
+                emb[g] = quantize_table(jnp.asarray(t))
+    out["embedding"] = emb
+    for k, t in aux_row_tables(model, params).items():
+        if t.shape[1] > 1:
+            out[k] = quantize_table(jnp.asarray(t))
+    return out
+
+
+def load_scorer(path: str, batch_size: int = 4096,
+                quantize: Optional[str] = None) -> Scorer:
+    """``quantize='int8'`` loads the row tables in int8 serving storage
+    (:func:`quantize_for_serving`)."""
     with open(os.path.join(path, "model.json")) as f:
         meta = json.load(f)
     fs = _fs_from_json(meta["feature_set"])
@@ -172,4 +206,8 @@ def load_scorer(path: str, batch_size: int = 4096) -> Scorer:
 
     params = fill(params_t, "params/")
     state = fill(state_t, "state/") if state_t else {}
+    if quantize == "int8":
+        params = quantize_for_serving(model, params)
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     return Scorer(model, params, state, batch_size)

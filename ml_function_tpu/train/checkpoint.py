@@ -40,6 +40,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
+from ..utils.logging import logger
 from .loop import TrainState
 
 _SEP = "/"
@@ -188,6 +189,37 @@ def all_checkpoints(ckpt_dir: str):
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     cks = all_checkpoints(ckpt_dir)
     return cks[-1] if cks else None
+
+
+def restore_latest(ckpt_dir: str, ts_template: TrainState
+                   ) -> Tuple[Optional[TrainState], Dict[str, Any], str]:
+    """Restore the newest readable checkpoint, FALLING BACK to older ones
+    when the newest is torn/corrupt (a host killed mid-write after the
+    atomic rename, a truncated filesystem, a bad disk — the restart half
+    of elastic recovery must not wedge on it). Returns
+    ``(ts | None, extra, path | '')``; corrupt candidates are renamed to
+    ``<name>.corrupt`` so the next restart doesn't retry them."""
+    last_err: Optional[Exception] = None
+    for path in reversed(all_checkpoints(ckpt_dir)):
+        try:
+            ts, extra = restore_checkpoint(path, ts_template)
+            if last_err is not None:
+                logger.warning("restored older checkpoint %s (newer ones "
+                               "corrupt: %s)", path, last_err)
+            return ts, extra, path
+        except (OSError, ValueError, KeyError, json.JSONDecodeError,
+                EOFError) as e:  # torn write / bad zip / missing member
+            last_err = e
+            logger.warning("checkpoint %s unreadable (%s) — trying older",
+                           path, e)
+            try:
+                os.replace(path, path + ".corrupt")
+            except OSError:
+                pass
+    if last_err is not None:
+        logger.error("no readable checkpoint in %s (last error: %s)",
+                     ckpt_dir, last_err)
+    return None, {}, ""
 
 
 def restore_checkpoint(path: str, ts_template: TrainState

@@ -22,7 +22,7 @@ from ..parallel.mesh import make_mesh
 from ..parallel.multihost import host_batch_slice, init_multihost
 from ..parallel.train import (create_sharded_state, make_sharded_eval_step,
                               make_sharded_train_step, shard_batch)
-from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import restore_latest, save_checkpoint
 from .config import Config, apply_overrides
 from .loop import iter_batches, prefetch, train_test_split
 from .metrics import init_metrics, metrics_summary, update_metrics
@@ -155,9 +155,11 @@ def run(cfg: Config) -> dict:
 
     start_step = 0
     if cfg.train.checkpoint_dir:
-        ck = latest_checkpoint(cfg.train.checkpoint_dir)
+        # newest READABLE checkpoint: torn/corrupt ones (host died mid-
+        # write) fall back to older ones instead of wedging the restart
+        ts2, extra, ck = restore_latest(cfg.train.checkpoint_dir, ts)
         if ck:
-            ts, extra = restore_checkpoint(ck, ts)
+            ts = ts2
             saved_fp = extra.get("fs_fingerprint")
             if saved_fp and saved_fp != fs.fingerprint:
                 raise ValueError(

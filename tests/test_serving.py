@@ -81,3 +81,68 @@ def test_wrapper_aliases():
     b = BehaviorFea("hist", word_size=100, input_length=20,
                     vocab_name="item")
     assert b.max_len == 20 and b.vocab == "item"
+
+
+def test_int8_quantized_scorer_matches_float():
+    """int8 serving tables (quantize_for_serving): scores track the float
+    scorer closely, tables store 4x smaller, and aux-table models (FFM)
+    quantize too."""
+    import jax
+    import jax.numpy as jnp
+
+    from ml_function_tpu.features.synthetic import make_criteo_like
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.serving import Scorer, quantize_for_serving
+    from ml_function_tpu.train.loop import fit
+
+    for name, hp in (("deepfm", {"hidden": (16, 8)}), ("ffm", {})):
+        fs, data = make_criteo_like(n_rows=512, n_dense=2, n_sparse=4,
+                                    vocab_size=50, embed_dim=8, seed=3)
+        model = get_model(name, fs, **hp)
+        ts, _ = fit(model, data, epochs=2, batch_size=128, seed=0)
+
+        s_f32 = Scorer(model, ts.params, ts.model_state, batch_size=128)
+        qp = quantize_for_serving(model, ts.params)
+        s_int8 = Scorer(model, qp, ts.model_state, batch_size=128)
+
+        if name == "deepfm":
+            # both column groups pack into ONE int8 (V, D+3) row
+            tab = qp["embedding"]["qpl"]
+            assert tab.dtype == jnp.int8
+            v, d = ts.params["embedding"]["table"].shape
+            assert tab.shape == (v, d + 3)
+            f32_bytes = (ts.params["embedding"]["table"].nbytes
+                         + ts.params["embedding"]["linear"].nbytes)
+            assert tab.nbytes * 3 < f32_bytes  # >3x smaller
+        else:  # ffm: aux (V, F*K) table quantizes; (V,1)-only groups stay
+            assert qp["ffm"]["qp"].dtype == jnp.int8
+            assert not isinstance(qp["embedding"]["linear"], dict)
+
+        p_f = s_f32.predict_proba(data)
+        p_q = s_int8.predict_proba(data)
+        assert float(np.max(np.abs(p_f - p_q))) < 0.02, name
+        # rank order preserved: AUC of quantized scores vs float labels
+        from sklearn.metrics import roc_auc_score
+        auc_f = roc_auc_score(data["label"], p_f)
+        auc_q = roc_auc_score(data["label"], p_q)
+        assert abs(auc_f - auc_q) < 2e-3, name
+
+
+def test_int8_export_load_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from ml_function_tpu.features.synthetic import make_criteo_like
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.serving import Scorer, export_model, load_scorer
+    from ml_function_tpu.train.loop import fit
+
+    fs, data = make_criteo_like(n_rows=256, n_dense=2, n_sparse=3,
+                                vocab_size=30, embed_dim=4, seed=4)
+    model = get_model("fm", fs)
+    ts, _ = fit(model, data, epochs=1, batch_size=64, seed=0)
+    export_model(str(tmp_path / "m"), "fm", fs, ts.params, ts.model_state)
+    sc = load_scorer(str(tmp_path / "m"), quantize="int8")
+    assert sc.params["embedding"]["qpl"].dtype == jnp.int8
+    p = sc.predict_proba(data)
+    ref = Scorer(model, ts.params, ts.model_state).predict_proba(data)
+    assert float(np.max(np.abs(p - ref))) < 0.02

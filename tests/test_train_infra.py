@@ -291,3 +291,52 @@ def test_retrieval_metrics():
                       items[3]])[None]                    # (1, 2, 8)
     m3 = retrieval_metrics(multi, items, np.array([3]))
     assert m3["hit@1"] == 1.0
+
+
+def test_restore_latest_falls_back_past_corrupt_checkpoint(tmp_path):
+    """A host killed mid-write can leave a torn checkpoint; the restart
+    must fall back to the newest READABLE one instead of wedging (r4 —
+    the restore half of elastic recovery)."""
+    import optax
+
+    from ml_function_tpu.train.checkpoint import (restore_latest,
+                                                  save_checkpoint)
+    from ml_function_tpu.train.loop import (create_train_state,
+                                            make_train_step)
+
+    fs, data = make_criteo_like(n_rows=64, n_dense=2, n_sparse=3,
+                                vocab_size=11, embed_dim=4, seed=0)
+    model = get_model("fm", fs)
+    opt = optax.adam(1e-2)
+    ts = create_train_state(model, jax.random.PRNGKey(0), opt)
+    step = make_train_step(model, opt, donate=False)
+    from ml_function_tpu.train.loop import iter_batches
+    b = next(iter_batches(data, 64))
+    ck = str(tmp_path / "ck")
+    ts, _ = step(ts, b)
+    save_checkpoint(ck, ts)                      # step 1 (good)
+    good_params = jax.device_get(ts.params)
+    ts, _ = step(ts, b)
+    p2 = save_checkpoint(ck, ts)                 # step 2 (will corrupt)
+    with open(os.path.join(p2, "arrays.npz"), "wb") as f:
+        f.write(b"not a zip file")
+    # also cover a missing-manifest tear
+    ts, _ = step(ts, b)
+    p3 = save_checkpoint(ck, ts)                 # step 3 (will corrupt)
+    os.remove(os.path.join(p3, "manifest.json"))
+
+    tmpl = create_train_state(model, jax.random.PRNGKey(1), opt)
+    got, extra, path = restore_latest(ck, tmpl)
+    assert got is not None and path.endswith("ckpt_0000000001")
+    assert int(jax.device_get(got.step)) == 1
+    for a, c in zip(jax.tree_util.tree_leaves(good_params),
+                    jax.tree_util.tree_leaves(jax.device_get(got.params))):
+        np.testing.assert_array_equal(a, c)
+    # corrupt candidates were quarantined
+    names = sorted(os.listdir(ck))
+    assert "ckpt_0000000002.corrupt" in names
+    assert "ckpt_0000000003.corrupt" in names
+
+    # empty/corrupt-only dir -> (None, {}, '')
+    got2, _, path2 = restore_latest(str(tmp_path / "nope"), tmpl)
+    assert got2 is None and path2 == ""
