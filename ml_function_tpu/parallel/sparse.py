@@ -254,6 +254,17 @@ def make_sparse_sharded_train_step(model: Model, dense_opt, row_opt,
         for k in aux_row_tables(model, ts.params):
             new_params[k] = new_groups[k]
 
+        if grad_exchange == "a2a" and grad_capacity:
+            # silent gradient drops must be visible (same bucketing math as
+            # the backward's slices — XLA CSEs it with the real exchange)
+            ov = jnp.zeros((), jnp.int32)
+            sl_obs = ShardedLookup(mesh, fs, mode="a2a",
+                                   capacity=grad_capacity)
+            for g, (gids, _) in per_group.items():
+                if g in emb_keys:
+                    ov = ov + sl_obs.overflow_count(gids)
+            out["grad_a2a_overflow"] = ov
+
         new_ts = TrainState(params=new_params,
                             opt_state={"dense": dense_state,
                                        "rows": row_states},

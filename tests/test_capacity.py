@@ -144,3 +144,32 @@ def test_cli_grad_capacity_auto_runs():
         "--config.mesh.grad_capacity=auto",
     ])
     assert np.isfinite(res["train"]["logloss"])
+
+
+def test_sparse_grad_capacity_overflow_counter(mesh42):
+    """The backward's capacity drops surface as grad_a2a_overflow: 0 at the
+    lossless-capacity setting, >0 at a deliberately tiny one (dropping
+    gradient rows silently would be the worst failure mode)."""
+    import optax as _ox
+
+    from ml_function_tpu.features.synthetic import make_criteo_like
+    from ml_function_tpu.parallel.sparse import (
+        create_sparse_sharded_state, make_sparse_sharded_train_step)
+    from ml_function_tpu.train.sparse import RowAdagrad
+
+    from ml_function_tpu.train.loop import iter_batches
+
+    fs, data = make_criteo_like(n_rows=64, n_dense=2, n_sparse=4,
+                                vocab_size=40, embed_dim=4, seed=7)
+    model = get_model("fm", fs)
+    b = shard_batch(next(iter_batches(data, 64)), mesh42)
+    for cap, expect_drops in ((64, False), (2, True)):
+        ts = create_sparse_sharded_state(model, jax.random.PRNGKey(0),
+                                         _ox.adam(1e-3), RowAdagrad(0.05),
+                                         mesh42)
+        step = make_sparse_sharded_train_step(
+            model, _ox.adam(1e-3), RowAdagrad(0.05), mesh42, donate=False,
+            grad_exchange="a2a", grad_capacity=cap)
+        _, out = step(ts, b)
+        n = int(out["grad_a2a_overflow"])
+        assert (n > 0) == expect_drops, (cap, n)
