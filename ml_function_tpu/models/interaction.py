@@ -312,12 +312,14 @@ def NFM(fs: FeatureSet, hidden: Tuple[int, ...] = (128, 64)) -> Model:
 
 
 def xDeepFM(fs: FeatureSet, cin_hidden: Tuple[int, ...] = (128, 128),
-            hidden: Tuple[int, ...] = (256, 128)) -> Model:
+            hidden: Tuple[int, ...] = (256, 128),
+            cin_kernel: str = "auto") -> Model:
     """xDeepFM (reference ``XDeepFM``, models.py:121-138): CIN ⊕ DNN ⊕ linear
-    summed into one logit (reference ScoreLayer add-merge)."""
+    summed into one logit (reference ScoreLayer add-merge). ``cin_kernel``:
+    'auto' | 'pallas' | 'off' (ops/kernels/cin.py fused layer)."""
     fe = FusedEmbedding(fs)
     f, d, nd = _dims(fs)
-    cin = CIN(f, d, cin_hidden, out_logit=True)
+    cin = CIN(f, d, cin_hidden, out_logit=True, kernel=cin_kernel)
     mlp = MLP(f * d + nd, hidden, activation="relu", out_dim=1)
 
     def init_fn(rng):

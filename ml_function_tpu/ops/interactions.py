@@ -10,8 +10,9 @@ TPU-native re-design of the reference's ``interactive_layer.py``
 - ``CrossLayer`` explicit recursion (interactive_layer.py:250-282) → rank-1
   cross step as two fused matvecs;
 - ``CIN`` per-hidden Conv1D loop (interactive_layer.py:285-327) → a single
-  einsum/matmul per depth on an (H·F, D) layout that tiles onto the MXU
-  (also available as a Pallas kernel, ``ops/kernels/cin.py``).
+  einsum/matmul per depth on an (H·F, D) layout that tiles onto the MXU,
+  with a fused Pallas layer (``ops/kernels/cin.py``) that keeps the
+  interaction tensor in VMEM — 2× batch headroom (auto-dispatched).
 
 All functions take field embeddings ``e``: (B, F, D) float32/bf16.
 """
@@ -187,6 +188,11 @@ class CIN:
     dim: int
     hidden: Tuple[int, ...] = (128, 128)
     out_logit: bool = True
+    # 'auto': fused Pallas layer (ops/kernels/cin.py) when shapes qualify,
+    # einsum otherwise; 'pallas' forces; 'off' forces einsum. The kernel
+    # keeps Z in VMEM: step-time parity at feasible batches, but 2x batch
+    # headroom (B=131k trains where the einsum Z fails to compile — PERF.md)
+    kernel: str = "auto"
 
     def init(self, rng) -> Params:
         rngs = split_rngs(rng, [f"w{i}" for i in range(len(self.hidden))] + ["head"])
@@ -202,6 +208,24 @@ class CIN:
     def features(self, params: Params, e: jax.Array) -> jax.Array:
         """(B, F, D) → (B, Σ hidden) pooled interaction features."""
         b, f, d = e.shape
+        if self.kernel != "off":
+            from .kernels.cin import cin_layer_t, supports
+            if (self.kernel == "pallas"
+                    or all(supports(b, f, h, d) for h in self.hidden)):
+                # fused path: ONE entry transpose; each layer's (D, B, O)
+                # output is the next layer's input; pooling sums over D
+                # directly in the transposed layout
+                e_t = jnp.transpose(e, (2, 0, 1)).astype(jnp.float32)
+                xk_t = e_t
+                pooled_t = []
+                h_prev = f
+                for i, h in enumerate(self.hidden):
+                    w1 = params[f"w{i}"].reshape(h_prev, f, h).reshape(
+                        h_prev, f * h)
+                    xk_t = cin_layer_t(xk_t, e_t, w1)      # (D, B, H)
+                    pooled_t.append(jnp.sum(xk_t, axis=0))  # (B, H)
+                    h_prev = h
+                return jnp.concatenate(pooled_t, axis=-1)
         x0 = e
         xk = e
         pooled = []
