@@ -146,3 +146,29 @@ def test_int8_export_load_roundtrip(tmp_path):
     p = sc.predict_proba(data)
     ref = Scorer(model, ts.params, ts.model_state).predict_proba(data)
     assert float(np.max(np.abs(p - ref))) < 0.02
+
+
+def test_int8_with_sharded_scorer():
+    """int8-quantized tables under the sharded scorer: qpl rows are not
+    fused-table paths in the spec tree, so they REPLICATE (11 bytes/row —
+    a 100M-row table is ~1.1 GB, replication is the sensible serving
+    layout); scores must match the single-device int8 scorer."""
+    import jax
+
+    from ml_function_tpu.features.synthetic import make_criteo_like
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.parallel.mesh import make_mesh
+    from ml_function_tpu.serving import (Scorer, ShardedScorer,
+                                         quantize_for_serving)
+    from ml_function_tpu.train.loop import fit
+
+    fs, data = make_criteo_like(n_rows=256, n_dense=2, n_sparse=3,
+                                vocab_size=30, embed_dim=4, seed=5)
+    model = get_model("deepfm", fs, hidden=(8,))
+    ts, _ = fit(model, data, epochs=1, batch_size=64, seed=0)
+    qp = quantize_for_serving(model, ts.params)
+    mesh = make_mesh(data=4, model=2)
+    sh = ShardedScorer(model, qp, mesh, ts.model_state, batch_size=64)
+    single = Scorer(model, qp, ts.model_state, batch_size=64)
+    np.testing.assert_allclose(sh.predict_proba(data),
+                               single.predict_proba(data), atol=1e-6)
