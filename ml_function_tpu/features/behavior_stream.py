@@ -19,12 +19,74 @@ keep-most-recent exactly like ``SeqEncoder.transform``.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from .native_loader import CriteoFileIterator
 from .schema import FeatureSet, SeqSpec, SparseSpec
+
+# ---------------------------------------------------------------------------
+# native parser binding (native/behavior_loader.cpp): the Python chunk
+# parser measures ~22k rows/s at L=90 and ~1.8k rows/s at L=2048 — 30×+
+# below one chip's consumption (PERF.md), so the stream auto-dispatches to
+# the multithreaded C++ parser when the toolchain is available.
+# ---------------------------------------------------------------------------
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_BSRC = os.path.join(_HERE, "native", "behavior_loader.cpp")
+_BLIB = os.path.join(_HERE, "native", "_behavior_loader.so")
+_BLOCK = threading.Lock()
+_blib: Optional[ctypes.CDLL] = None
+
+
+def _build_blib() -> str:
+    if (os.path.exists(_BLIB)
+            and os.path.getmtime(_BLIB) >= os.path.getmtime(_BSRC)):
+        return _BLIB
+    tmp = _BLIB + f".tmp{os.getpid()}"
+    proc = subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+         _BSRC, "-o", tmp], capture_output=True, text=True, timeout=120)
+    if proc.returncode != 0:
+        raise RuntimeError(f"g++ failed:\n{proc.stderr}")
+    os.replace(tmp, _BLIB)
+    return _BLIB
+
+
+def _get_blib() -> ctypes.CDLL:
+    global _blib
+    with _BLOCK:
+        if _blib is None:
+            lib = ctypes.CDLL(_build_blib())
+            lib.mlfb_count_rows.restype = ctypes.c_int64
+            lib.mlfb_count_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.mlfb_parse_behavior.restype = ctypes.c_int64
+            lib.mlfb_parse_behavior.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+            _blib = lib
+    return _blib
+
+
+def native_available() -> bool:
+    try:
+        _get_blib()
+        return True
+    except Exception:
+        return False
 
 
 def encode_int_ids(ids: np.ndarray, buckets: int) -> np.ndarray:
@@ -91,13 +153,21 @@ class BehaviorFileIterator(CriteoFileIterator):
                  seq_len: int = 90, long_seq_len: int = 0,
                  item_buckets: int = 1 << 20, cate_buckets: int = 1 << 10,
                  chunk_bytes: int = 16 << 20,
-                 shard: Optional[Tuple[int, int]] = None):
+                 shard: Optional[Tuple[int, int]] = None,
+                 engine: str = "auto"):
+        """``engine``: 'auto' (native C++ parser when g++ is available —
+        30×+ the Python parser, PERF.md) | 'native' | 'python'."""
         super().__init__(path, batch_size, chunk_bytes=chunk_bytes,
                          shard=shard)
         self.seq_len = seq_len
         self.long_seq_len = long_seq_len
         self.item_buckets = item_buckets
         self.cate_buckets = cate_buckets
+        if engine == "auto":
+            engine = "native" if native_available() else "python"
+        elif engine == "native":
+            _get_blib()  # raise early with the g++ error
+        self.engine = engine
         # read the header eagerly: with chunk sharding only shard 0 sees
         # chunk 0, so every worker must learn the column order up front
         with open(path, "r") as f:
@@ -110,10 +180,7 @@ class BehaviorFileIterator(CriteoFileIterator):
             seq_len=self.seq_len, embed_dim=embed_dim,
             long_seq_len=self.long_seq_len)
 
-    def _parse(self, chunk: bytes) -> Dict[str, np.ndarray]:
-        lines = chunk.decode().splitlines()
-        if lines and lines[0] == self._header_line:
-            lines = lines[1:]  # chunk 0 carries the header row
+    def _columns(self) -> Dict[str, int]:
         cols = {name: i for i, name in enumerate(self._header)}
         need = ["label", "item", "cate", "hist_item", "hist_cate"]
         if self.long_seq_len:
@@ -122,6 +189,55 @@ class BehaviorFileIterator(CriteoFileIterator):
         if missing:
             raise ValueError(f"behavior stream {self.path} is missing "
                              f"columns {missing} (header {self._header})")
+        return cols
+
+    def _parse(self, chunk: bytes) -> Dict[str, np.ndarray]:
+        # chunk 0 carries the header row — strip it for either engine
+        hdr = self._header_line.encode()
+        if chunk.startswith(hdr) and chunk[len(hdr):len(hdr) + 1] in (b"\n",
+                                                                      b""):
+            chunk = chunk[len(hdr) + 1:]
+        if self.engine == "native":
+            return self._parse_native(chunk)
+        return self._parse_python(chunk)
+
+    def _parse_native(self, chunk: bytes) -> Dict[str, np.ndarray]:
+        lib = _get_blib()
+        cols = self._columns()
+        n = int(lib.mlfb_count_rows(chunk, len(chunk)))
+        L, LL = self.seq_len, max(self.long_seq_len, 1)
+        labels = np.empty(n, np.float32)
+        items = np.empty(n, np.int32)
+        cates = np.empty(n, np.int32)
+        hi = np.empty((n, L), np.int32)
+        hc = np.empty((n, L), np.int32)
+        hl = np.empty((n, LL), np.int32) if self.long_seq_len else \
+            np.empty((0, 1), np.int32)
+
+        def ptr(a, ty):
+            return a.ctypes.data_as(ctypes.POINTER(ty))
+
+        got = lib.mlfb_parse_behavior(
+            chunk, len(chunk), self.seq_len, self.long_seq_len or 0,
+            self.item_buckets, self.cate_buckets,
+            cols["label"], cols["item"], cols["cate"], cols["hist_item"],
+            cols["hist_cate"], cols.get("hist_long", -1)
+            if self.long_seq_len else -1,
+            ptr(labels, ctypes.c_float), ptr(items, ctypes.c_int32),
+            ptr(cates, ctypes.c_int32), ptr(hi, ctypes.c_int32),
+            ptr(hc, ctypes.c_int32),
+            ptr(hl, ctypes.c_int32) if self.long_seq_len else None, 0)
+        assert got == n, (got, n)
+        seq = {"hist_item": hi, "hist_cate": hc}
+        if self.long_seq_len:
+            seq["hist_long"] = hl
+        return {"dense": np.zeros((n, 0), np.float32),
+                "sparse": np.stack([items, cates], axis=1),
+                "seq": seq, "label": labels}
+
+    def _parse_python(self, chunk: bytes) -> Dict[str, np.ndarray]:
+        lines = chunk.decode().splitlines()
+        cols = self._columns()
         rows = [ln.split(",") for ln in lines if ln]
         get = lambda c: np.asarray([r[cols[c]] for r in rows], object)
 

@@ -117,3 +117,24 @@ def test_cli_behavior_stream_trains_din(tmp_path):
     assert res["steps"] == 400 // 64
     assert np.isfinite(res["train"]["logloss"])
     assert res["eval"]["count"] == 64
+
+
+def test_native_parser_matches_python(tmp_path):
+    """The C++ behavior parser must reproduce the Python encoding bit for
+    bit (labels, bucket encode, keep-most-recent right-padded histories,
+    long field, chunk carry)."""
+    from ml_function_tpu.features.behavior_stream import native_available
+    if not native_available():
+        pytest.skip("g++ toolchain unavailable")
+    p = tmp_path / "beh.csv"
+    _write_csv(p, 500, seq_len=9, long_len=17)
+    kw = dict(seq_len=7, long_seq_len=12, item_buckets=64, cate_buckets=16,
+              chunk_bytes=1 << 16)
+    a = list(iter(BehaviorFileIterator(p, 64, engine="python", **kw)))
+    b = list(iter(BehaviorFileIterator(p, 64, engine="native", **kw)))
+    assert len(a) == len(b) == 500 // 64
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(xa["label"], xb["label"])
+        np.testing.assert_array_equal(xa["sparse"], xb["sparse"])
+        for k in xa["seq"]:
+            np.testing.assert_array_equal(xa["seq"][k], xb["seq"][k], err_msg=k)
