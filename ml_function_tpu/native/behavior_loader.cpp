@@ -48,12 +48,15 @@ std::vector<Range> split_ranges(const char* buf, int64_t len, int t) {
 }
 
 int64_t count_lines(const char* b, const char* e) {
+  // counts NON-EMPTY lines only — the Python engine filters blank lines
+  // (`if ln`), so a trailing "\n\n" must not become a zero-filled row here
   int64_t n = 0;
   while (b < e) {
     const char* nl = static_cast<const char*>(
         memchr(b, '\n', static_cast<size_t>(e - b)));
-    if (!nl) { ++n; break; }
-    ++n;
+    const char* le = nl ? nl : e;
+    if (le > b) ++n;
+    if (!nl) break;
     b = nl + 1;
   }
   return n;
@@ -137,6 +140,11 @@ void parse_range(const Range& r, const Cols& c, int seq_len, int long_len,
     const char* nl = static_cast<const char*>(
         memchr(p, '\n', static_cast<size_t>(r.e - p)));
     const char* le = nl ? nl : r.e;
+    if (le == p) {  // blank line: no row (matches the Python `if ln` filter)
+      if (!nl) break;
+      p = nl + 1;
+      continue;
+    }
     // split the line into fields up to max_col
     int idx = 0;
     const char* fs = p;

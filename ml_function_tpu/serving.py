@@ -152,14 +152,17 @@ def export_model(path: str, model_name: str, fs: FeatureSet, params,
 
 
 def quantize_for_serving(model: Model, params) -> Dict[str, Any]:
-    """int8-quantize every vocab-row table for serving: the fused cross
-    table plus aux (V, W>1) tables (FFM blocks, OENN orders) become
-    ``{'q': int8, 'scale': f32 (V, 1)}`` (``ops.embedding.quantize_table``,
-    per-row absmax). The (V, 1) linear group stays f32 — int8+scale would
-    be LARGER than the float column. ~4× less serving HBM for the tables
-    (the dominant memory term); v5e gather cost is per-row, so scoring
-    throughput is unchanged (PERF.md). Training states cannot be
-    quantized (no vjp through the int8 gather) — serving only."""
+    """int8-quantize every vocab-row table for serving into PACKED rows
+    (``ops.embedding.quantize_table`` / ``quantize_fused``, per-row
+    pow2-absmax): the fused cross+linear pair becomes ``{'qpl': int8
+    (V, D+3)}`` — layout ``[q_cross·D, e_cross, q_lin, e_lin]`` with the
+    pow2 scale EXPONENT stored in-row, so ONE gather fetches value bytes
+    and scales together — and aux (V, W>1) tables (FFM blocks, OENN
+    orders) become ``{'qp': int8 (V, W+1)}`` (``[q·W, e]``). ~4× less
+    serving HBM for the tables (the dominant memory term) and FASTER than
+    f32 at the board batch (PERF.md int8 rows: fewer bytes/row through
+    the row-gather bottleneck). Training states cannot be quantized (no
+    vjp through the int8 gather) — serving only."""
     from .ops.embedding import quantize_fused, quantize_table
     from .train.sparse import aux_row_tables
 

@@ -198,7 +198,16 @@ def restore_latest(ckpt_dir: str, ts_template: TrainState
     atomic rename, a truncated filesystem, a bad disk — the restart half
     of elastic recovery must not wedge on it). Returns
     ``(ts | None, extra, path | '')``; corrupt candidates are renamed to
-    ``<name>.corrupt`` so the next restart doesn't retry them."""
+    ``<name>.corrupt`` so the next restart doesn't retry them.
+
+    Multi-process runs reach CONSENSUS before loading (ADVICE r4): process
+    0 alone probes candidates newest-first (manifest + shard-file
+    readability), quarantines corrupt ones, and broadcasts the selected
+    step to all processes, which then restore the SAME path — hosts can
+    never resume from different steps, and no peer races a mid-restore
+    ``.corrupt`` rename."""
+    if jax.process_count() > 1:
+        return _restore_latest_consensus(ckpt_dir, ts_template)
     last_err: Optional[Exception] = None
     for path in reversed(all_checkpoints(ckpt_dir)):
         try:
@@ -220,6 +229,64 @@ def restore_latest(ckpt_dir: str, ts_template: TrainState
         logger.error("no readable checkpoint in %s (last error: %s)",
                      ckpt_dir, last_err)
     return None, {}, ""
+
+
+def _probe_checkpoint(path: str) -> None:
+    """Cheap readability probe (no array bytes decompressed): manifest
+    parses; sharded format additionally requires every ``shards_*.npz``
+    openable and jointly covering the manifest's keys. Raises on failure."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("format", "dense") == "sharded":
+        seen = set()
+        files = sorted(glob.glob(os.path.join(path, "shards_*.npz")))
+        if not files:
+            raise OSError(f"no shard files in {path}")
+        for fp in files:
+            with np.load(fp, allow_pickle=False) as npz:  # zip dir read only
+                for name in npz.files:
+                    seen.add(name.rsplit("::", 1)[0])
+        missing = set(manifest["keys"]) - seen
+        if missing:
+            raise KeyError(f"checkpoint {path} missing keys "
+                           f"{sorted(missing)[:3]}...")
+    else:
+        # dense: the npz central directory must parse
+        with np.load(os.path.join(path, "arrays.npz"),
+                     allow_pickle=False) as npz:
+            if not set(manifest["keys"]) <= set(npz.files):
+                raise KeyError(f"checkpoint {path} npz is missing keys")
+
+
+def _restore_latest_consensus(ckpt_dir: str, ts_template: TrainState
+                              ) -> Tuple[Optional[TrainState],
+                                         Dict[str, Any], str]:
+    from jax.experimental import multihost_utils
+
+    sel_step = -1
+    if jax.process_index() == 0:
+        for path in reversed(all_checkpoints(ckpt_dir)):
+            try:
+                _probe_checkpoint(path)
+                sel_step = int(os.path.basename(path).split("_")[1])
+                break
+            except (OSError, ValueError, KeyError, json.JSONDecodeError,
+                    EOFError) as e:
+                logger.warning("checkpoint %s unreadable (%s) — trying "
+                               "older", path, e)
+                try:  # only process 0 quarantines — peers never race this
+                    os.replace(path, path + ".corrupt")
+                except OSError:
+                    pass
+    sel_step = int(multihost_utils.broadcast_one_to_all(
+        np.asarray(sel_step, np.int64)))
+    if sel_step < 0:
+        return None, {}, ""
+    path = os.path.join(ckpt_dir, f"ckpt_{sel_step:010d}")
+    # an agreed-on path that still fails to read is a REAL error now —
+    # raising beats silently training from divergent steps
+    ts, extra = restore_checkpoint(path, ts_template)
+    return ts, extra, path
 
 
 def restore_checkpoint(path: str, ts_template: TrainState

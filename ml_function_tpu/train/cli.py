@@ -179,9 +179,19 @@ def run(cfg: Config) -> dict:
         if setting == "auto":
             from ..parallel.planner import plan_capacity
             per_dev = cfg.train.batch_size // mesh.shape["data"]
+            # ONE capacity serves every a2a lookup of the step, so it must
+            # cover the LARGEST one — sequence lookups ship B_loc·max_len
+            # ids per device (DIN/SIM/behavior_stream), far more than the
+            # B_loc·F sparse lookup. Sizing from sparse fields alone made
+            # seq buckets overflow and read zero rows (ADVICE r4). The sum
+            # over all lookups upper-bounds each single one.
+            ids_per_ex = (max(len(fs.sparse), 1)
+                          + sum(s.max_len for s in fs.seq))
             cap = plan_capacity(fs, mesh.shape["model"],
-                                per_dev * max(len(fs.sparse), 1))
-            print(f"{tag} auto capacity: {cap}", file=sys.stderr)
+                                per_dev * ids_per_ex)
+            print(f"{tag} auto capacity: {cap} "
+                  f"(per-device ids {per_dev * ids_per_ex})",
+                  file=sys.stderr)
             return cap
         return int(setting)
 

@@ -288,6 +288,17 @@ def fit(model: Model, data: Dict[str, Any], *, epochs: int = 1,
     else:
         opt = optimizer
     ts = create_train_state(model, jax.random.PRNGKey(seed), opt)
+    if plateau and optimizer is not None:
+        # fail NOW, not hours in when the first LR reduction fires
+        # (set_learning_rate would raise mid-training otherwise)
+        if not hasattr(ts.opt_state, "hyperparams") or \
+                "learning_rate" not in getattr(ts.opt_state, "hyperparams",
+                                               {}):
+            raise ValueError(
+                "fit(plateau=...) needs an optimizer built with "
+                "inject_lr=True (make_optimizer(..., inject_lr=True)) so "
+                "the host can retune the LR; the supplied optimizer's "
+                "state has no injected learning_rate hyperparam")
     if init_params is not None:
         p0, s0 = init_params
         ts = TrainState(params=p0, opt_state=opt.init(p0), model_state=s0,

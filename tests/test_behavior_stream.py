@@ -138,3 +138,34 @@ def test_native_parser_matches_python(tmp_path):
         np.testing.assert_array_equal(xa["sparse"], xb["sparse"])
         for k in xa["seq"]:
             np.testing.assert_array_equal(xa["seq"][k], xb["seq"][k], err_msg=k)
+
+
+def test_native_parser_skips_blank_lines(tmp_path):
+    """Blank lines (interspersed AND a trailing \\n\\n) must not become
+    zero-filled rows in the native engine — the Python engine filters them
+    (`if ln`), so both engines must agree on row count and content
+    (ADVICE r4)."""
+    from ml_function_tpu.features.behavior_stream import native_available
+    if not native_available():
+        pytest.skip("g++ toolchain unavailable")
+    p = tmp_path / "beh.csv"
+    _write_csv(p, 130, seq_len=5, long_len=9)
+    text = p.read_text().splitlines()
+    # inject a blank line every 7 rows + double-blank tail
+    out = []
+    for i, ln in enumerate(text):
+        out.append(ln)
+        if i % 7 == 3:
+            out.append("")
+    p.write_text("\n".join(out) + "\n\n")
+    kw = dict(seq_len=5, long_seq_len=9, item_buckets=64, cate_buckets=16,
+              chunk_bytes=1 << 12)  # small chunks: blanks cross chunk seams
+    a = list(iter(BehaviorFileIterator(p, 32, engine="python", **kw)))
+    b = list(iter(BehaviorFileIterator(p, 32, engine="native", **kw)))
+    assert len(a) == len(b) == 130 // 32
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(xa["label"], xb["label"])
+        np.testing.assert_array_equal(xa["sparse"], xb["sparse"])
+        for k in xa["seq"]:
+            np.testing.assert_array_equal(xa["seq"][k], xb["seq"][k],
+                                          err_msg=k)

@@ -340,3 +340,35 @@ def test_restore_latest_falls_back_past_corrupt_checkpoint(tmp_path):
     # empty/corrupt-only dir -> (None, {}, '')
     got2, _, path2 = restore_latest(str(tmp_path / "nope"), tmpl)
     assert got2 is None and path2 == ""
+
+
+def test_probe_checkpoint_detects_tears(tmp_path):
+    """The multi-process consensus probe (ADVICE r4: process 0 selects, all
+    restore the same path) must accept intact checkpoints in BOTH formats
+    and reject torn ones — without decompressing array bytes."""
+    import optax
+
+    from ml_function_tpu.train.checkpoint import (_probe_checkpoint,
+                                                  save_checkpoint)
+    from ml_function_tpu.train.loop import create_train_state
+
+    fs, data = make_criteo_like(n_rows=16, n_dense=2, n_sparse=3,
+                                vocab_size=11, embed_dim=4, seed=0)
+    model = get_model("fm", fs)
+    ts = create_train_state(model, jax.random.PRNGKey(0), optax.adam(1e-2))
+
+    p_dense = save_checkpoint(str(tmp_path / "d"), ts)
+    _probe_checkpoint(p_dense)  # intact dense: no raise
+    p_sh = save_checkpoint(str(tmp_path / "s"), ts, format="sharded")
+    _probe_checkpoint(p_sh)     # intact sharded: no raise
+
+    with open(os.path.join(p_dense, "arrays.npz"), "wb") as f:
+        f.write(b"not a zip")
+    with pytest.raises(Exception):
+        _probe_checkpoint(p_dense)
+
+    shard = sorted(os.listdir(p_sh))
+    npzs = [s for s in shard if s.startswith("shards_")]
+    os.remove(os.path.join(p_sh, npzs[0]))
+    with pytest.raises(Exception):  # missing shard file → missing keys/OSError
+        _probe_checkpoint(p_sh)
