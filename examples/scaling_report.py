@@ -63,12 +63,52 @@ def probe(args) -> dict:
 
     n_dense, n_sparse, dim = 13, 26, 8
     mesh = make_mesh(data=args.data, model=args.model_axis)
+    opt = optax.adam(1e-3)
+    b = args.batch_per_chip * args.data
+    if args.model == "sim":
+        # lifelong-stream shape (bench board: B=512/chip, L=16k): probes the
+        # seq-sharded GSU (parallel/longseq.py) vs the replicated-key step
+        from ml_function_tpu.features.schema import (FeatureSet, SeqSpec,
+                                                     SparseSpec)
+        iv = args.vocab
+        L = args.long_len
+        fs = FeatureSet(
+            sparse=(SparseSpec("item", iv, vocab_name="item", dim=dim),),
+            seq=(SeqSpec("hist_item", iv, 8, vocab_name="item", dim=dim),
+                 SeqSpec("hist_long", iv, L, vocab_name="item", dim=dim)),
+        )
+        model = get_model("sim", fs, hidden=(64, 32), search="soft",
+                          top_k=args.top_k, candidate=("item",),
+                          behavior=("hist_item",),
+                          long_behavior=("hist_long",))
+        batch = {
+            "dense": np.zeros((b, 0), np.float32),
+            "sparse": np.ones((b, 1), np.int32),
+            "seq": {"hist_item": np.ones((b, 8), np.int32),
+                    "hist_long": np.ones((b, L), np.int32)},
+            "label": np.zeros((b,), np.float32),
+            "weight": np.ones((b,), np.float32),
+        }
+        ts = create_sharded_state(model, jax.random.PRNGKey(0), opt, mesh)
+        step = make_sharded_train_step(model, opt, mesh, donate=False,
+                                       exchange=args.exchange,
+                                       compress=args.compress or None,
+                                       seq_shard=bool(args.seq_shard))
+        stats = collective_stats(step, ts, shard_batch(batch, mesh))
+        return {
+            "model": "sim", "n_devices": args.data * args.model_axis,
+            "data": args.data, "model_axis": args.model_axis,
+            "seq_shard": bool(args.seq_shard), "long_len": L,
+            "top_k": args.top_k, "batch_per_chip": args.batch_per_chip,
+            "counts": stats.counts, "bytes": stats.bytes,
+            "total_count": stats.total_count,
+            "wire_bytes": stats.wire_bytes(default_k=args.data
+                                           * args.model_axis),
+        }
     fs = criteo_feature_set([args.vocab] * n_sparse, n_dense=n_dense,
                             embed_dim=dim)
     model = get_model(args.model, fs, **({"hidden": (256, 128, 64)}
                                          if args.model == "deepfm" else {}))
-    opt = optax.adam(1e-3)
-    b = args.batch_per_chip * args.data
     batch = {
         "dense": np.zeros((b, n_dense), np.float32),
         "sparse": np.ones((b, n_sparse), np.int32),
@@ -135,6 +175,9 @@ def main():
     ap.add_argument("--row-optimizer", default="")
     ap.add_argument("--grad-exchange", default="a2a")
     ap.add_argument("--grad-capacity", type=int, default=0)
+    ap.add_argument("--seq-shard", type=int, default=0)
+    ap.add_argument("--long-len", type=int, default=16384)
+    ap.add_argument("--top-k", type=int, default=128)
     ap.add_argument("--quick", action="store_true",
                     help="8-chip configs only")
     args = ap.parse_args()

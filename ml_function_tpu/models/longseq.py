@@ -333,11 +333,51 @@ def SIM(fs: FeatureSet,
             p["align_long"] = align_long.init(rngs["align_long"])
         return p
 
+    def _seq_shard_mesh():
+        """Active mesh when the seq-sharded GSU applies: soft search, a
+        model-sharded mesh with seq_shard requested, and no RowTape (the
+        sparse-row path records ids through behavior_inputs instead)."""
+        if search != "soft":
+            return None
+        from ..ops.embedding import active_row_tape
+        if active_row_tape() is not None:
+            return None
+        from ..parallel import context as pctx
+        if pctx.seq_shard_active() and pctx.model_axis_size() > 1:
+            return pctx.active_mesh()
+        return None
+
     def fwd(params, batch, train):
         emb_p = params["dien"]["embedding"]
-        cand, long_beh, long_mask, l2_long, emb = behavior_inputs(
-            fe, emb_p, batch, candidate, long_behavior)
-        if search == "soft":
+        sp_mesh = _seq_shard_mesh()
+        if sp_mesh is not None:
+            # SP path (parallel/longseq.py): the long KEY axis is sharded
+            # over `model` — scoring, masking and top-k run per L/M block,
+            # merged exactly; no device materializes the (B, L, D) stream
+            from ..parallel.longseq import seq_sharded_soft_search
+            cand_cols = [fs.sparse_index(n) for n in candidate]
+            emb = fe.sparse(emb_p, batch["sparse"])
+            cand = jnp.concatenate([emb[:, c, :] for c in cand_cols],
+                                   axis=-1)
+            cand_long = jnp.concatenate([emb[:, c, :]
+                                         for c in long_score_cols], axis=-1)
+            from ..parallel import context as pctx
+            k = min(top_k, fs.seq_spec(long_behavior[0]).max_len)
+            reduced, red_mask, sq = seq_sharded_soft_search(
+                sp_mesh, fs, long_behavior, k, emb_p["table"],
+                batch["seq"], cand_long,
+                capacity=pctx.exchange_capacity(),
+                compress=pctx.exchange_compress())
+            coef = jnp.asarray([fs.seq_spec(n).emb_l2
+                                for n in long_behavior], jnp.float32)
+            l2_long = (fe.l2_from_sparse(emb)
+                       + jnp.sum(coef * jnp.sum(sq, axis=1)))
+        else:
+            cand, long_beh, long_mask, l2_long, emb = behavior_inputs(
+                fe, emb_p, batch, candidate, long_behavior)
+        if sp_mesh is not None:
+            pass  # reduced/red_mask computed above
+        elif search == "soft":
             # raw-space scoring against the vocab-matched candidate slice
             cand_long = jnp.concatenate([emb[:, c, :]
                                          for c in long_score_cols], axis=-1)

@@ -45,24 +45,37 @@ def exchange_capacity() -> Optional[int]:
     return getattr(_state, "capacity", None)
 
 
+def seq_shard_active() -> bool:
+    """True when long-sequence KEY-axis sharding is requested: lifelong
+    models (SIM's GSU, models/longseq.py) route their long-stream
+    processing through ``parallel/longseq.py`` so each device holds only
+    an L/M block of the stream."""
+    return bool(getattr(_state, "seq_shard", False))
+
+
 @contextlib.contextmanager
 def sharded_embeddings(mesh: Mesh, mode: str = "psum",
                        compress: Optional[str] = None,
-                       capacity: Optional[int] = None):
+                       capacity: Optional[int] = None,
+                       seq_shard: bool = False):
     """``mode``: 'psum' (mask+psum) or 'a2a' (id all-to-all exchange) —
     see parallel/embedding.py for the trade-off. ``compress='bf16'`` ships
     the exchanged row payloads in bfloat16 (half the ICI bytes).
     ``capacity`` bounds UNIQUE ids per a2a (src→dst) bucket (None = the
     lossless worst case; derive a tuned value from frequency stats with
-    ``parallel.planner.plan_capacity``)."""
+    ``parallel.planner.plan_capacity``). ``seq_shard=True`` additionally
+    shards lifelong-sequence KEY axes over ``model``
+    (``parallel/longseq.py``)."""
     prev = getattr(_state, "mesh", None)
     prev_mode = getattr(_state, "mode", "psum")
     prev_compress = getattr(_state, "compress", None)
     prev_capacity = getattr(_state, "capacity", None)
+    prev_seq = getattr(_state, "seq_shard", False)
     _state.mesh = mesh
     _state.mode = mode
     _state.compress = compress
     _state.capacity = capacity
+    _state.seq_shard = seq_shard
     try:
         yield
     finally:
@@ -70,3 +83,4 @@ def sharded_embeddings(mesh: Mesh, mode: str = "psum",
         _state.mode = prev_mode
         _state.compress = prev_compress
         _state.capacity = prev_capacity
+        _state.seq_shard = prev_seq

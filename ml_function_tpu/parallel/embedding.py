@@ -98,35 +98,28 @@ def _local_lookup(table_shard: jax.Array, ids: jax.Array,
     return jax.lax.psum(rows, MODEL_AXIS)
 
 
-def _a2a_lookup(table_shard: jax.Array, ids: jax.Array,
-                capacity: int, compress: Optional[str] = None) -> jax.Array:
-    """Id-all-to-all exchange lookup (strategy 2 in the module docstring).
+def _a2a_fetch(table_shard: jax.Array, mine: jax.Array, capacity: int,
+               compress: Optional[str] = None) -> jax.Array:
+    """Owner-routed row fetch for THIS device's id slice ``mine`` (S,) —
+    the shared core of the two a2a paths. Runs INSIDE shard_map.
 
-    Runs INSIDE shard_map. ``ids`` are global ids of any shape, replicated
-    over ``model``; returns (*ids.shape, D) rows, replicated over ``model``.
+    Sort by ID (owner = id // r is monotone in id, so buckets stay
+    contiguous) — duplicate ids become adjacent and SHARE one exchange slot
+    (SURVEY §7's deduped-id a2a): traffic ∝ unique ids per bucket, and a
+    capacity below S is lossless whenever per-bucket UNIQUES fit. Ids ≥ r·m
+    (sentinels/pad) are owned by no shard and read as zero rows; uniques
+    beyond ``capacity`` per (src→dst) bucket drop to zero rows (the
+    documented overflow semantics; see ``ShardedLookup.overflow_count``).
 
-    ``compress='bf16'`` ships the ROW payloads (the return all_to_all and
-    the closing all_gather — the two big buffers; ids stay int32) in
+    ``compress='bf16'`` ships the ROW payloads (ids stay int32) in
     bfloat16: ~2× less ICI traffic for one value-precision cast, the same
     trade the retrieved DLRM comm-compression paper makes at its
-    conservative level. Backward casts the cotangents symmetrically.
-    """
+    conservative level. Backward casts the cotangents symmetrically."""
     r, d = table_shard.shape
     m = jax.lax.axis_size(MODEL_AXIS)
     j = jax.lax.axis_index(MODEL_AXIS)
+    s = mine.shape[0]
 
-    flat = ids.reshape(-1).astype(jnp.int32)
-    n = flat.shape[0]
-    s = -(-n // m)  # ids handled per peer
-    sentinel = jnp.int32(r * m)  # one past the last padded row: owned by no one
-    flat_p = jnp.concatenate(
-        [flat, jnp.full((s * m - n,), sentinel, jnp.int32)])
-    mine = jax.lax.dynamic_slice(flat_p, (j * s,), (s,))  # my N/M slice
-
-    # sort by ID (owner = id // r is monotone in id, so buckets stay
-    # contiguous) — duplicate ids become adjacent and SHARE one exchange
-    # slot (SURVEY §7's deduped-id a2a): traffic ∝ unique ids per bucket,
-    # and a capacity below S/M is lossless whenever per-bucket UNIQUES fit
     order = jnp.argsort(mine)
     s_ids = mine[order]
     s_owner = s_ids // r
@@ -143,6 +136,7 @@ def _a2a_lookup(table_shard: jax.Array, ids: jax.Array,
     pos = cum_u[jnp.arange(1, s + 1)] - 1 - u_before_bucket  # unique rank
 
     cap = capacity
+    sentinel = jnp.int32(r * m)
     send = jnp.full((m + 1, cap), sentinel, jnp.int32)
     # duplicates write the SAME id to the same slot (idempotent set);
     # overflow beyond cap UNIQUE ids per bucket drops
@@ -166,8 +160,31 @@ def _a2a_lookup(table_shard: jax.Array, ids: jax.Array,
     got = back[jnp.minimum(s_owner, m - 1), safe_pos]       # (S, D), sorted
     got = got * ((s_owner < m) & (pos < cap))[:, None]      # dropped -> 0
     inv = jnp.argsort(order)
-    my_rows = got[inv]                                      # my slice's rows
+    return got[inv].astype(table_shard.dtype)               # my slice's rows
 
+
+def _a2a_lookup(table_shard: jax.Array, ids: jax.Array,
+                capacity: int, compress: Optional[str] = None) -> jax.Array:
+    """Id-all-to-all exchange lookup (strategy 2 in the module docstring).
+
+    Runs INSIDE shard_map. ``ids`` are global ids of any shape, replicated
+    over ``model``; returns (*ids.shape, D) rows, replicated over ``model``.
+    The flat ids are SPLIT over the model axis (each peer fetches N/M via
+    :func:`_a2a_fetch`); a closing ``all_gather`` reassembles the full
+    activation."""
+    r, d = table_shard.shape
+    m = jax.lax.axis_size(MODEL_AXIS)
+    j = jax.lax.axis_index(MODEL_AXIS)
+
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    s = -(-n // m)  # ids handled per peer
+    sentinel = jnp.int32(r * m)  # one past the last padded row: owned by no one
+    flat_p = jnp.concatenate(
+        [flat, jnp.full((s * m - n,), sentinel, jnp.int32)])
+    mine = jax.lax.dynamic_slice(flat_p, (j * s,), (s,))  # my N/M slice
+
+    my_rows = _a2a_fetch(table_shard, mine, capacity, compress)
     full = jax.lax.all_gather(my_rows, MODEL_AXIS, axis=0, tiled=True)
     return full[:n].reshape(ids.shape + (d,)).astype(table_shard.dtype)
 

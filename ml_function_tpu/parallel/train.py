@@ -161,12 +161,16 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
                             donate: bool = True,
                             exchange: str = "psum",
                             compress=None,
-                            capacity=None) -> Callable:
+                            capacity=None,
+                            seq_shard: bool = False) -> Callable:
     """``capacity``: a2a per-bucket UNIQUE-id cap (None = lossless worst
     case; tuned value from ``planner.plan_capacity``). With a finite
     capacity the step output carries ``a2a_overflow`` — the global count of
     unique ids dropped this step (XLA CSEs the counter's bucketing math
-    with the real exchange, so it is near-free)."""
+    with the real exchange, so it is near-free). ``seq_shard=True`` shards
+    lifelong-sequence KEY axes over ``model`` (SIM's GSU routes through
+    ``parallel/longseq.py``; equality vs the unsharded model pinned in
+    tests/test_seq_parallel.py)."""
     fs = model.feature_set
     observe_overflow = exchange == "a2a" and capacity is not None
     if observe_overflow:
@@ -200,14 +204,14 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
 
     def run(ts, batch):
         with sharded_embeddings(mesh, mode=exchange, compress=compress,
-                                capacity=capacity):
+                                capacity=capacity, seq_shard=seq_shard):
             return jitted(ts, batch)
 
     def lower(ts, batch):
         # AOT inspection path (utils/hlo_stats.py): trace under the same
         # collective-exchange context the run path uses
         with sharded_embeddings(mesh, mode=exchange, compress=compress,
-                                capacity=capacity):
+                                capacity=capacity, seq_shard=seq_shard):
             return jitted.lower(ts, batch)
 
     run.lower = lower
@@ -216,7 +220,8 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
 
 def make_sharded_eval_step(model: Model, mesh: Mesh,
                            exchange: str = "psum",
-                           compress=None) -> Callable:
+                           compress=None,
+                           seq_shard: bool = False) -> Callable:
     def eval_step(params, model_state, metrics, batch):
         logits, _, _ = model.apply(params, model_state, batch, train=False)
         return update_metrics(metrics, logits, batch["label"],
@@ -225,7 +230,8 @@ def make_sharded_eval_step(model: Model, mesh: Mesh,
     jitted = jax.jit(eval_step)
 
     def run(params, model_state, metrics, batch):
-        with sharded_embeddings(mesh, mode=exchange, compress=compress):
+        with sharded_embeddings(mesh, mode=exchange, compress=compress,
+                                seq_shard=seq_shard):
             return jitted(params, model_state, metrics, batch)
 
     return run
