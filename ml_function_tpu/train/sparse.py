@@ -196,14 +196,22 @@ def make_row_optimizer(name: str = "adagrad", learning_rate: float = 1e-2,
 # ---------------------------------------------------------------------------
 
 
-def aux_row_tables(model: Model, params) -> Dict[str, jax.Array]:
+def aux_row_tables(model: Model, params, num_shards: int = 1
+                   ) -> Dict[str, jax.Array]:
     """Top-level params that are vocab-row tables outside FusedEmbedding
     (FFM blocks, OENN per-order tables): shape ``(total_vocab, ·)``. These
-    ride the sparse-row path via ``gather_rows(..., tape_key=<key>)``."""
+    ride the sparse-row path via ``gather_rows(..., tape_key=<key>)``.
+    ``num_shards`` > 1 additionally accepts the shard-padded row count
+    (the sharded path pads + row-shards aux tables exactly like the fused
+    ones — r5, VERDICT r4 next #2)."""
     v = model.feature_set.total_vocab
+    sizes = {v}
+    if num_shards > 1:
+        from ..parallel.embedding import rows_per_shard
+        sizes.add(rows_per_shard(v, num_shards) * num_shards)
     return {k: t for k, t in params.items()
             if k != "embedding" and hasattr(t, "ndim") and t.ndim == 2
-            and t.shape[0] == v}
+            and t.shape[0] in sizes}
 
 
 def _placeholder(t: jax.Array) -> jax.Array:
@@ -213,22 +221,23 @@ def _placeholder(t: jax.Array) -> jax.Array:
     return jnp.zeros((0,) + t.shape[1:], t.dtype)
 
 
-def sparse_dense_tree(model: Model, params) -> Dict:
+def sparse_dense_tree(model: Model, params, num_shards: int = 1) -> Dict:
     """params with every row table (fused groups + aux) replaced by
     placeholders — the tree the dense optimizer owns."""
     emb = params.get("embedding", {})
     tree = dict(params)
     tree["embedding"] = {g: _placeholder(t) for g, t in emb.items()}
-    for k in aux_row_tables(model, params):
+    for k in aux_row_tables(model, params, num_shards):
         tree[k] = _placeholder(params[k])
     return tree
 
 
-def row_table_groups(model: Model, params) -> Dict[str, jax.Array]:
+def row_table_groups(model: Model, params, num_shards: int = 1
+                     ) -> Dict[str, jax.Array]:
     """All row-updated tables by tape group: fused column groups
     ('table'/'linear') + aux keys."""
     out = dict(params.get("embedding", {}))
-    aux = aux_row_tables(model, params)
+    aux = aux_row_tables(model, params, num_shards)
     clash = set(out) & set(aux)
     assert not clash, (f"aux row tables {clash} collide with FusedEmbedding "
                        "column-group names — rename the params")
@@ -256,7 +265,8 @@ def create_sparse_train_state(model: Model, rng, dense_opt, row_opt
 
 
 def sparse_step_core(model: Model, dense_opt, ts: TrainState, batch,
-                     gather_fn) -> Tuple[Dict, Any, Dict, Any]:
+                     gather_fn, num_shards: int = 1
+                     ) -> Tuple[Dict, Any, Dict, Any]:
     """Shared record → gather → inject → grad → dense-update scaffolding
     for both the single-device and the sharded sparse steps.
 
@@ -266,8 +276,8 @@ def sparse_step_core(model: Model, dense_opt, ts: TrainState, batch,
     ``(out_dict, rng, new_dense_params_with_placeholder_tables,
     dense_state, per_group (ids, grads) lists)``."""
     rng, step_rng = jax.random.split(ts.rng)
-    groups = row_table_groups(model, ts.params)
-    dense_tree = sparse_dense_tree(model, ts.params)
+    groups = row_table_groups(model, ts.params, num_shards)
+    dense_tree = sparse_dense_tree(model, ts.params, num_shards)
 
     # 1) record the lookup ids (forward is dead code except id exprs)
     rec = RowTape("record")
