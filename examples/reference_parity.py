@@ -39,11 +39,18 @@ def split(data, frac=0.05, seed=0):
     return tr, te
 
 
-def eval_metrics(y, p):
+def eval_metrics(y, p, groups=None):
     from sklearn.metrics import log_loss, roc_auc_score
     p = np.clip(np.asarray(p, np.float64).reshape(-1), 1e-7, 1 - 1e-7)
-    return {"auc": float(roc_auc_score(y, p)),
-            "logloss": float(log_loss(y, p))}
+    out = {"auc": float(roc_auc_score(y, p)),
+           "logloss": float(log_loss(y, p))}
+    if groups is not None:
+        # the DIN/DIEN papers' headline metric (train/metrics.gauc)
+        from ml_function_tpu.train.metrics import gauc
+        g, used = gauc(y, p, groups)
+        out["gauc"] = round(float(g), 4)
+        out["gauc_groups"] = int(used)
+    return out
 
 
 def model_hp(args):
@@ -85,7 +92,7 @@ def run_ours(fs, train, test, args):
     dt = time.perf_counter() - t0
     p = Scorer(model, ts.params, ts.model_state,
                batch_size=args.batch).predict_proba(test)
-    m = eval_metrics(test["label"], p)
+    m = eval_metrics(test["label"], p, groups=test.get("group"))
     m["train_s"] = round(dt, 1)   # includes jit compile (cold: minutes on the
     # axon remote-compile tunnel; cached after the first run)
     m["examples_per_sec"] = round(res.examples_per_sec)  # steady-state

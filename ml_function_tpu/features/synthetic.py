@@ -124,6 +124,11 @@ def make_behavior_data(
         "sparse": sparse.astype(np.int32),
         "seq": {"hist_item": seq_items, "hist_cate": seq_cates},
         "label": y,
+        # user/group key for GAUC eval (train/loop.evaluate); drawn from a
+        # SEPARATE rng so every pre-existing column stays bit-identical
+        # for a given seed
+        "group": np.random.default_rng(seed + 90001).integers(
+            0, max(n_rows // 20, 2), n_rows).astype(np.int32),
     }
     return fs, batch
 

@@ -316,6 +316,20 @@ def run(cfg: Config) -> dict:
         "steps": step_i,
         "examples_per_sec": (n_seen / dt) if dt > 0 else 0.0,
     }
+    if (test_data is not None and "group" in test_data
+            and jax.process_count() == 1):
+        # group/user key present: report GAUC + calibration alongside AUC
+        # (single-process — per-example prob gather; the streaming AUC
+        # above stays the multi-host path)
+        from ..parallel.context import sharded_embeddings
+        from .loop import evaluate
+        with sharded_embeddings(mesh, mode=cfg.mesh.exchange,
+                                compress=compress):
+            full = evaluate(model, ts.params, ts.model_state, test_data,
+                            batch_size=cfg.train.batch_size)
+        result["eval"].update(
+            {k: full[k] for k in ("gauc", "gauc_groups", "ratio", "ece")
+             if k in full})
     if can_eval:
         result["stopped_early"] = stopped
         result["best_step"] = best_tracker.best_step
