@@ -15,6 +15,7 @@ reference has no published numbers). The TF number is cached in
 ``.bench_tf_baseline.json`` after the first run.
 """
 
+import contextlib
 import argparse
 import json
 import os
@@ -365,6 +366,102 @@ def bench_scoring(steps: int = 50, quantize: str = "") -> float:
     return rate
 
 
+def bench_serving_latency(batches=(1, 16, 256), reps: int = 25,
+                          inner: int = 24, sharded: bool = False):
+    """Online-scoring LATENCY board (VERDICT r4 weak #6): per-batch p50/p99
+    at small serving batches, f32 vs int8 packed tables.
+
+    Method: chained-``fori_loop`` differencing — each sample is
+    (t[fori(2·inner)] − t[fori(inner)]) / inner, which cancels the ~18 ms
+    axon tunnel dispatch AND the fixed jit-call overhead, leaving pure
+    device step latency; p50/p99 are over ``reps`` such samples. (True
+    end-to-end percentiles depend on the RPC stack in front of the chip,
+    which this dev tunnel does not represent.)
+
+    ``sharded=True``: ShardedScorer's collective-exchange forward over an
+    8-virtual-device CPU mesh (data=4, model=2) — run in a CPU subprocess;
+    numbers are CPU-relative (sharding overhead), not chip latency.
+    Returns {(batch, tag): {"p50_ms", "p99_ms"}}."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    from ml_function_tpu.features.schema import criteo_feature_set
+    from ml_function_tpu.models import get_model
+    from ml_function_tpu.serving import quantize_for_serving
+
+    fs = criteo_feature_set([VOCAB] * N_SPARSE, n_dense=N_DENSE,
+                            embed_dim=DIM)
+    model = get_model("deepfm", fs, hidden=HIDDEN)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    variants = [("f32", params),
+                ("int8", quantize_for_serving(model, params))]
+
+    if sharded:
+        from ml_function_tpu.parallel.context import sharded_embeddings
+        from ml_function_tpu.parallel.mesh import make_mesh
+        from ml_function_tpu.parallel.train import (_pad_tables,
+                                                    param_spec_tree)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = make_mesh(data=4, model=2)
+        pp = _pad_tables(params, 2)
+        specs = param_spec_tree(pp)
+        pp = jax.device_put(pp, jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda s: isinstance(s, P)))
+        variants = [("sharded-f32", pp)]
+
+    out = {}
+    for b in batches:
+        if sharded and b % 4:
+            continue  # batch must divide the data axis
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        batch = {
+            "dense": jax.random.uniform(k1, (b, N_DENSE), jnp.float32),
+            "sparse": jax.random.randint(k2, (b, N_SPARSE), 1, VOCAB,
+                                         jnp.int32),
+        }
+        for tag, p in variants:
+            def make_f(n):
+                @jax.jit
+                def f(p, batch):
+                    def body(i, acc):
+                        bb = dict(batch)
+                        bb["sparse"] = (batch["sparse"] + i) % VOCAB  # no CSE
+                        logits, _, _ = model.apply(p, {}, bb, train=False)
+                        return acc + jnp.sum(jax.nn.sigmoid(logits))
+                    return jax.lax.fori_loop(0, n, body,
+                                             jnp.zeros((), jnp.float32))
+                return f
+
+            ctx = (sharded_embeddings(mesh) if sharded
+                   else contextlib.nullcontext())
+            with ctx:
+                f_long, f_short = make_f(2 * inner), make_f(inner)
+                float(f_long(p, batch))     # compile
+                float(f_short(p, batch))
+                samples = []
+                for _ in range(reps):
+                    t0 = _t.perf_counter()
+                    float(f_short(p, batch))
+                    t_s = _t.perf_counter() - t0
+                    t0 = _t.perf_counter()
+                    float(f_long(p, batch))
+                    t_l = _t.perf_counter() - t0
+                    samples.append(max(t_l - t_s, 1e-9) / inner)
+            s = np.sort(np.asarray(samples))
+            p50 = float(s[len(s) // 2]) * 1e3
+            p99 = float(s[min(int(len(s) * 0.99), len(s) - 1)]) * 1e3
+            out[(b, tag)] = {"p50_ms": p50, "p99_ms": p99}
+            log(f"serving latency B={b:>4} {tag:>11}: "
+                f"p50 {p50:.3f} ms  p99 {p99:.3f} ms  "
+                f"({b / (p50 / 1e3):,.0f} ex/s at p50)")
+    return out
+
+
 def bench_jax(steps: int, warmup: int = 5) -> float:
     """Times N train steps inside ONE jit (lax.fori_loop) and differences two
     loop lengths — the remote-dispatch latency of the axon tunnel (~18 ms per
@@ -656,10 +753,33 @@ def run_board(steps: int, only=None):
         add("native node2vec walks", f"{bench_walks()/1e6:.1f}M steps/s",
             "host (deepwalk rate on stderr)")
 
+    def latency_tier():
+        # online-scoring latency board (VERDICT r4 weak #6)
+        lat = bench_serving_latency()
+        for (b, tag), v in lat.items():
+            add(f"serving latency B={b} {tag}",
+                f"p50 {v['p50_ms']:.3f} / p99 {v['p99_ms']:.3f} ms",
+                f"{b / (v['p50_ms'] / 1e3):,.0f} ex/s at p50")
+        # ShardedScorer leg runs on an 8-virtual-device CPU mesh (sharding
+        # overhead, not chip latency) in a subprocess
+        import subprocess
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--latency-sharded"], env=env,
+                           capture_output=True, text=True, timeout=1200)
+        if r.returncode == 0 and r.stdout.strip():
+            for row in json.loads(r.stdout.strip().splitlines()[-1]):
+                add(row["metric"], row["value"], row["note"])
+        else:
+            add("serving latency sharded FAILED", "subprocess",
+                r.stderr[-120:])
+
     tier("interaction", interaction_tier)
     tier("seq", seq_tier)
     tier("sim", sim_tier)
     tier("store", store_tier)
+    tier("latency", latency_tier)
     tier("sparse", sparse_tier)
     tier("native", native_tier)
 
@@ -686,8 +806,25 @@ def main():
                     help="full refreshed bench board -> .bench_board.md")
     ap.add_argument("--only", type=str, default="",
                     help="board: comma list of tiers (interaction,seq,sim,"
-                         "store,sparse,native)")
+                         "store,latency,sparse,native)")
+    ap.add_argument("--latency-sharded", action="store_true",
+                    help="internal: ShardedScorer latency leg (run under "
+                         "JAX_PLATFORMS=cpu + 8 virtual devices)")
     args = ap.parse_args()
+
+    if args.latency_sharded:
+        # the image's sitecustomize re-registers the TPU backend through
+        # jax.config — force CPU so the 8 virtual devices exist
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        lat = bench_serving_latency(batches=(16, 256), reps=15, inner=12,
+                                    sharded=True)
+        print(json.dumps([
+            {"metric": f"serving latency B={b} {tag} (CPU mesh 4x2)",
+             "value": f"p50 {v['p50_ms']:.2f} / p99 {v['p99_ms']:.2f} ms",
+             "note": "collective-exchange overhead leg, not chip latency"}
+            for (b, tag), v in lat.items()]))
+        return
 
     if args.batch:
         global BATCH
