@@ -36,6 +36,11 @@ import pytest
 # ---------------------------------------------------------------------------
 
 _SLOW_NODEIDS = (
+    # registry-wide learning evidence: 25+ full fits (the meta coverage
+    # check stays in the default tier)
+    "test_models_learn_all.py::test_interaction_model_learns",
+    "test_models_learn_all.py::test_sequence_model_learns",
+    "test_models_learn_all.py::test_memory_models_beat_din_on_interest_drift",
     # parallel: a2a exchange deep-coverage (smoke parity kept in default)
     "test_parallel.py::test_a2a_bf16_compress_close_and_grads_flow",
     "test_parallel.py::test_a2a_grads_match",
