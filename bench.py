@@ -624,6 +624,39 @@ def bench_loader(rows: int = 500_000) -> float:
     return rows / dt
 
 
+def bench_avazu_loader(rows: int = 500_000) -> float:
+    """Native Avazu CSV parser throughput (rows/s) on a synthetic file
+    (22 categorical fields: hex ids + small ints + hour split)."""
+    import numpy as np
+
+    from ml_function_tpu.features.native_loader import (native_available,
+                                                        parse_avazu_buffer)
+    if not native_available():
+        log("avazu loader: g++ unavailable, skipped")
+        return 0.0
+    rng = np.random.default_rng(0)
+    header = (["id", "click", "hour", "C1", "banner_pos"]
+              + [f"site_{i}" for i in range(9)]
+              + [f"C{i}" for i in range(14, 22)])
+    cols = [np.char.mod("%019d", rng.integers(0, 1 << 60, rows)),
+            rng.integers(0, 2, rows).astype("U1"),
+            np.char.mod("141021%02d", rng.integers(0, 24, rows)),
+            np.char.mod("%d", rng.integers(1000, 1012, rows)),
+            rng.integers(0, 3, rows).astype("U1")]
+    for _ in range(9):
+        cols.append(np.char.mod("%08x", rng.integers(0, 1 << 32, rows)))
+    for _ in range(8):
+        cols.append(np.char.mod("%d", rng.integers(15000, 16000, rows)))
+    buf = ("\n".join(",".join(r) for r in zip(*cols)) + "\n").encode()
+    parse_avazu_buffer(buf, header)  # warm
+    t0 = time.perf_counter()
+    parse_avazu_buffer(buf, header)
+    dt = time.perf_counter() - t0
+    log(f"avazu loader: {rows/dt/1e6:.2f}M rows/s "
+        f"({len(buf)/dt/1e6:.0f} MB/s)")
+    return rows / dt
+
+
 def bench_walks(n_nodes: int = 20_000, n_edges: int = 200_000) -> float:
     """Native C++ walk engine throughput (steps/s) on a random graph."""
     import numpy as np
@@ -750,6 +783,8 @@ def run_board(steps: int, only=None):
     def native_tier():
         add("native criteo loader", f"{bench_loader()/1e6:.2f}M rows/s",
             "host")
+        add("native avazu loader", f"{bench_avazu_loader()/1e6:.2f}M rows/s",
+            "host (22 categorical + hour split)")
         add("native node2vec walks", f"{bench_walks()/1e6:.1f}M steps/s",
             "host (deepwalk rate on stderr)")
 

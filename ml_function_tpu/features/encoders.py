@@ -40,10 +40,24 @@ def _hash_bucket(values: np.ndarray, num_buckets: int, salt: str) -> np.ndarray:
     return out
 
 
+def _fnv_bucket(values: np.ndarray, num_buckets: int, salt: str) -> np.ndarray:
+    """FNV-1a 64 hashing into 1..num_buckets-1 — the NATIVE loaders' spec
+    (native/criteo_loader.cpp): seed = fnv("<col>:"), id = 1 + fnv(value,
+    seed) % (buckets-1). mode='fnv' makes the pandas path bit-identical to
+    engine='native' (the parity contract of the Avazu loader)."""
+    from .native_loader import fnv1a64
+    out = np.empty(len(values), np.int64)
+    seed = fnv1a64((salt + ":").encode())
+    for i, v in enumerate(values):
+        out[i] = 1 + fnv1a64(str(v).encode(), seed) % (num_buckets - 1)
+    return out
+
+
 @dataclass
 class SparseEncoder:
     """Per-column vocab encoder. mode='vocab' fits a dict (LabelEncoder
-    equivalent); mode='hash' uses stable hashing into ``hash_buckets``."""
+    equivalent); mode='hash' (md5) / mode='fnv' (the native loaders' hash)
+    bucket into ``hash_buckets``."""
 
     mode: str = "vocab"
     hash_buckets: int = 1 << 20
@@ -69,6 +83,8 @@ class SparseEncoder:
             col = df[c].fillna("-1").astype(str).to_numpy()
             if self.mode == "hash":
                 ids = _hash_bucket(col, self.hash_buckets, c)
+            elif self.mode == "fnv":
+                ids = _fnv_bucket(col, self.hash_buckets, c)
             else:
                 vocab = self.vocabs[c]
                 ids = np.asarray([vocab.get(v, 0) for v in col], np.int64)
@@ -76,7 +92,7 @@ class SparseEncoder:
         return np.stack(cols, axis=1).astype(np.int32)
 
     def vocab_size(self, column: str) -> int:
-        if self.mode == "hash":
+        if self.mode in ("hash", "fnv"):
             return self.hash_buckets
         return len(self.vocabs[column]) + 1  # + pad/OOV row
 

@@ -72,6 +72,14 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_int64, ctypes.c_int, ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+            lib.mlf_parse_avazu.restype = ctypes.c_int64
+            lib.mlf_parse_avazu.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_char, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int]
             _lib = lib
     return _lib
 
@@ -246,6 +254,101 @@ class CriteoFileIterator:
             carry = (_tree_slice(item, slice(n_full, None))
                      if n_full < len(item["label"]) else None)
         t.join()
+
+
+# ---------------------------------------------------------------------------
+# Avazu-format categorical CSV (r5 — BASELINE.json "AutoInt on Avazu")
+
+
+def avazu_columns(header: Sequence[str], label_col: str = "click",
+                  drop: Sequence[str] = ("id",)):
+    """Output-column plan from a CSV header: every field except label/id
+    becomes a hashed categorical, with ``hour`` (YYMMDDHH) split into
+    ``hour_of_day`` + ``day`` derived columns appended at the end — the
+    exact column set/order of ``avazu_csv_pipeline`` (pandas path)."""
+    if label_col not in header:
+        raise ValueError(f"label column {label_col!r} not in header "
+                         f"{list(header)[:6]}...")
+    label_idx = header.index(label_col)
+    hour_idx = header.index("hour") if "hour" in header else -1
+    skip = set(drop) | {label_col, "hour"}
+    out_cols, field_idx, mode = [], [], []
+    for i, c in enumerate(header):
+        if c in skip:
+            continue
+        out_cols.append(c)
+        field_idx.append(i)
+        mode.append(0)
+    if hour_idx >= 0:
+        out_cols += ["hour_of_day", "day"]
+        field_idx += [hour_idx, hour_idx]
+        mode += [1, 2]
+    return out_cols, field_idx, mode, label_idx, hour_idx
+
+
+def parse_avazu_buffer(buf, header: Sequence[str], *,
+                       hash_buckets: int = 1 << 20,
+                       label_col: str = "click",
+                       delim: str = ",",
+                       n_threads: Optional[int] = None
+                       ) -> Tuple[List[str], Dict[str, np.ndarray]]:
+    """Parse a HEADERLESS Avazu CSV body buffer → (out_cols, arrays).
+    Encoding = SparseEncoder mode='fnv' on the pandas-equivalent string
+    view of each field: int-typed columns canonicalize to decimal, empty
+    fields become '-1' (fillna contract), ``hour`` splits into
+    hour_of_day/day. Bit-parity with the pandas fnv path is pinned in
+    tests; columns pandas would type as FLOAT (missing values in an int
+    column, scientific notation) diverge — real Avazu has none."""
+    lib = get_lib()
+    nt = _threads(n_threads)
+    out_cols, field_idx, mode, label_idx, hour_idx = avazu_columns(
+        list(header), label_col)
+    view = np.frombuffer(buf, np.uint8)
+    addr, nbytes = view.ctypes.data, view.size
+    n = lib.mlf_count_rows(addr, nbytes, nt)
+    sparse = np.zeros((n, len(out_cols)), np.int32)
+    label = np.zeros((n,), np.float32)
+    if n:
+        fi = np.asarray(field_idx, np.int32)
+        md = np.asarray(mode, np.int32)
+        rows = lib.mlf_parse_avazu(
+            addr, nbytes, delim.encode(), len(header), label_idx, hour_idx,
+            len(out_cols), fi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            md.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), hash_buckets,
+            "\n".join(out_cols).encode(),
+            sparse.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            label.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nt)
+        if rows < 0:
+            raise RuntimeError("native avazu parse: bad spec")
+        if rows != n:  # blank lines are skipped by the parser AND counter
+            sparse, label = sparse[:rows], label[:rows]
+    return out_cols, {"dense": np.zeros((len(label), 0), np.float32),
+                      "sparse": sparse, "label": label}
+
+
+def load_avazu(path: str, *, hash_buckets: int = 1 << 20,
+               label_col: str = "click",
+               n_threads: Optional[int] = None
+               ) -> Tuple[List[str], Dict[str, np.ndarray]]:
+    """Whole-file native Avazu parse (mmap'd body, header read separately)."""
+    with open(path, "rb") as f:
+        head = f.readline()
+        header = head.decode().rstrip("\r\n").split(",")
+        size = os.fstat(f.fileno()).st_size
+        body_off = len(head)
+        if size <= body_off:
+            return parse_avazu_buffer(b"", header,
+                                      hash_buckets=hash_buckets,
+                                      label_col=label_col)
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            body = np.frombuffer(mm, np.uint8)[body_off:]
+            try:
+                return parse_avazu_buffer(body, header,
+                                          hash_buckets=hash_buckets,
+                                          label_col=label_col,
+                                          n_threads=n_threads)
+            finally:
+                del body  # release the mmap export before close
 
 
 # ---------------------------------------------------------------------------

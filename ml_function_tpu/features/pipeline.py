@@ -154,12 +154,40 @@ def avazu_csv_pipeline(path: str, embed_dim: int = 8,
                        hash_features: bool = False,
                        hash_buckets: int = 1 << 20,
                        label_col: str = "click",
-                       max_rows: Optional[int] = None) -> Tuple[FeatureSet, Dict]:
+                       max_rows: Optional[int] = None,
+                       engine: str = "auto",
+                       hash_mode: str = "hash") -> Tuple[FeatureSet, Dict]:
     """Avazu-format CSV (click + 22 categorical fields incl. hour) →
     (FeatureSet, arrays). Target config of BASELINE.json ('AutoInt on
     Avazu'). The hour column is split into (day-of-week-ish, hour-of-day)
-    categorical fields, the standard treatment."""
+    categorical fields, the standard treatment.
+
+    ``engine``: 'native' uses the multithreaded C++ parser+FNV-hash encoder
+    (native/criteo_loader.cpp::mlf_parse_avazu — requires
+    ``hash_features=True``); 'pandas' the in-memory path; 'auto' picks
+    native when hash_features is on and the toolchain builds. At 40M rows
+    the pandas path starves the chip the way the old behavior parser did
+    (PERF.md native-loader section) — the native engine is the at-scale
+    route. ``hash_mode`` ('hash' = md5 | 'fnv' = the native spec) selects
+    the pandas hash; engine='native' always hashes FNV, and
+    pandas+hash_mode='fnv' is bit-identical to it (parity-tested)."""
     import pandas as pd
+
+    if engine == "auto":
+        from .native_loader import native_available
+        engine = ("native" if hash_features and max_rows is None
+                  and native_available() else "pandas")
+    if engine == "native":
+        if not hash_features:
+            raise ValueError("engine='native' hash-encodes: needs "
+                             "hash_features=True")
+        from .native_loader import load_avazu
+        cols, data = load_avazu(path, hash_buckets=hash_buckets,
+                                label_col=label_col)
+        fs = FeatureSet(sparse=tuple(
+            SparseSpec(c, vocab_size=hash_buckets, dim=embed_dim)
+            for c in cols))
+        return fs, data
 
     df = pd.read_csv(path, nrows=max_rows)
     drop = {label_col, "id"}
@@ -170,7 +198,7 @@ def avazu_csv_pipeline(path: str, embed_dim: int = 8,
         drop.add("hour")
     sparse_cols = [c for c in df.columns if c not in drop]
 
-    se = SparseEncoder(mode="hash" if hash_features else "vocab",
+    se = SparseEncoder(mode=hash_mode if hash_features else "vocab",
                        hash_buckets=hash_buckets).fit(df, sparse_cols)
     fs = FeatureSet(
         sparse=tuple(SparseSpec(c, vocab_size=se.vocab_size(c), dim=embed_dim)
