@@ -492,14 +492,52 @@ def AutoInt(fs: FeatureSet, n_layers: int = 2, num_heads: int = 2,
             p[f"mha{i}"] = mha.init(rngs[f"mha{i}"])
         return p
 
+    def _pp(n_blocks):
+        """(mesh, microbatches, blocks/stage) when pipeline parallelism is
+        requested (context) and the block stack splits evenly."""
+        from ..parallel import context as pctx
+        m = pctx.pp_microbatches()
+        if not m or pctx.model_axis_size() <= 1:
+            return None
+        mesh = pctx.active_mesh()
+        stages = mesh.shape["model"]
+        if n_blocks % stages:
+            raise ValueError(
+                f"pipeline over {stages} stages needs n_layers divisible "
+                f"({n_blocks} blocks)")
+        return mesh, m, n_blocks // stages
+
     def fwd(params, batch, train):
         inp = embed_inputs(fe, params["embedding"], batch, with_linear=False)
         e = inp["emb"]
         if nd:
             dense_field = Dense(nd, d)(params["dense_proj"], inp["dense"])
             e = jnp.concatenate([e, dense_field[:, None, :]], axis=1)
-        for i in range(n_layers):
-            e = mha(params[f"mha{i}"], e)
+        pp = _pp(n_layers)
+        if pp is not None:
+            # PP path (parallel/pipeline.py): each model-axis device owns
+            # blocks_per_stage consecutive MHA blocks; activations hand
+            # off via ppermute in one GPipe scan — same math, same order,
+            # parity vs the sequential stack pinned in tests/test_pipeline
+            mesh, micro, bps = pp
+            from ..parallel.pipeline import make_pipeline, stack_stage_params
+            stages = mesh.shape["model"]
+            stacked = stack_stage_params([
+                {f"b{j}": params[f"mha{s * bps + j}"] for j in range(bps)}
+                for s in range(stages)])
+
+            def stage_fn(sp, x):
+                eb = x.reshape(x.shape[0], n_fields, d)
+                for j in range(bps):
+                    eb = mha(sp[f"b{j}"], eb)
+                return eb.reshape(x.shape[0], -1)
+
+            pipe = make_pipeline(mesh, stage_fn, n_microbatches=micro)
+            e = pipe(stacked, e.reshape(e.shape[0], -1)).reshape(
+                e.shape[0], n_fields, d)
+        else:
+            for i in range(n_layers):
+                e = mha(params[f"mha{i}"], e)
         logit = head(params["head"], e.reshape(e.shape[0], -1))
         return logit[:, 0], {"emb_l2": inp["l2"]}
 

@@ -53,11 +53,19 @@ def seq_shard_active() -> bool:
     return bool(getattr(_state, "seq_shard", False))
 
 
+def pp_microbatches() -> int:
+    """> 0 when pipeline parallelism is requested: deep tower stacks
+    (AutoInt's block stack) route through ``parallel/pipeline.py`` with
+    this many microbatches, one stage per ``model``-axis device."""
+    return int(getattr(_state, "pp_microbatches", 0))
+
+
 @contextlib.contextmanager
 def sharded_embeddings(mesh: Mesh, mode: str = "psum",
                        compress: Optional[str] = None,
                        capacity: Optional[int] = None,
-                       seq_shard: bool = False):
+                       seq_shard: bool = False,
+                       pp_microbatches: int = 0):
     """``mode``: 'psum' (mask+psum) or 'a2a' (id all-to-all exchange) —
     see parallel/embedding.py for the trade-off. ``compress='bf16'`` ships
     the exchanged row payloads in bfloat16 (half the ICI bytes).
@@ -65,17 +73,20 @@ def sharded_embeddings(mesh: Mesh, mode: str = "psum",
     lossless worst case; derive a tuned value from frequency stats with
     ``parallel.planner.plan_capacity``). ``seq_shard=True`` additionally
     shards lifelong-sequence KEY axes over ``model``
-    (``parallel/longseq.py``)."""
+    (``parallel/longseq.py``). ``pp_microbatches`` > 0 pipelines deep
+    tower stacks over ``model`` (``parallel/pipeline.py``)."""
     prev = getattr(_state, "mesh", None)
     prev_mode = getattr(_state, "mode", "psum")
     prev_compress = getattr(_state, "compress", None)
     prev_capacity = getattr(_state, "capacity", None)
     prev_seq = getattr(_state, "seq_shard", False)
+    prev_pp = getattr(_state, "pp_microbatches", 0)
     _state.mesh = mesh
     _state.mode = mode
     _state.compress = compress
     _state.capacity = capacity
     _state.seq_shard = seq_shard
+    _state.pp_microbatches = pp_microbatches
     try:
         yield
     finally:
@@ -84,3 +95,4 @@ def sharded_embeddings(mesh: Mesh, mode: str = "psum",
         _state.compress = prev_compress
         _state.capacity = prev_capacity
         _state.seq_shard = prev_seq
+        _state.pp_microbatches = prev_pp

@@ -199,7 +199,8 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
                             exchange: str = "psum",
                             compress=None,
                             capacity=None,
-                            seq_shard: bool = False) -> Callable:
+                            seq_shard: bool = False,
+                            pp_microbatches: int = 0) -> Callable:
     """``capacity``: a2a per-bucket UNIQUE-id cap (None = lossless worst
     case; tuned value from ``planner.plan_capacity``). With a finite
     capacity the step output carries ``a2a_overflow`` — the global count of
@@ -241,14 +242,16 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
 
     def run(ts, batch):
         with sharded_embeddings(mesh, mode=exchange, compress=compress,
-                                capacity=capacity, seq_shard=seq_shard):
+                                capacity=capacity, seq_shard=seq_shard,
+                                pp_microbatches=pp_microbatches):
             return jitted(ts, batch)
 
     def lower(ts, batch):
         # AOT inspection path (utils/hlo_stats.py): trace under the same
         # collective-exchange context the run path uses
         with sharded_embeddings(mesh, mode=exchange, compress=compress,
-                                capacity=capacity, seq_shard=seq_shard):
+                                capacity=capacity, seq_shard=seq_shard,
+                                pp_microbatches=pp_microbatches):
             return jitted.lower(ts, batch)
 
     run.lower = lower
