@@ -105,19 +105,24 @@ class FeatureSet:
     min_table_rows: Optional[int] = None
 
     def __post_init__(self):
-        dims = {s.dim for s in self.sparse} | {s.dim for s in self.seq}
-        if len(dims) > 1:
-            # Deliberate divergence from the reference's per-feature
-            # cross_unit (interactive_layer.py:189-247): the fused
-            # single-gather table (ops/embedding.py) needs one width, and
-            # every interaction op needs equal dims anyway — the reference
-            # ships AlignLayer (core_layer.py:240-257) precisely because
-            # mixed dims break them. Project side embeddings with
-            # ops.core.Align instead.
-            raise ValueError(
-                f"all sparse/seq specs must share one embed dim, got {dims} "
-                "(use one dim for the fused table; project auxiliary "
-                "embeddings with ops.core.Align)")
+        # Per-feature embedding widths (reference ``sparseFea.cross_unit``
+        # is per-feature, data_prepare.py:59, recombined by AlignLayer,
+        # core_layer.py:240-257): vocabs may declare different dims. The
+        # LARGEST dim is the primary width; primary-dim vocabs share the
+        # fused table, and each narrower width group gets its own fused
+        # sub-table plus a learned Align projection back to the primary
+        # width at lookup time (ops/embedding.py), so models still see one
+        # uniform (B, F, D) — the standard vocab-size-scaled-dim trick
+        # with the reference's recombination semantics. A vocab shared by
+        # several fields must have ONE dim.
+        vdims: dict = {}
+        for s in list(self.sparse) + list(self.seq):
+            prev = vdims.setdefault(s.vocab, s.dim)
+            if prev != s.dim:
+                raise ValueError(
+                    f"vocab {s.vocab!r} declared with dims {prev} and "
+                    f"{s.dim} — fields sharing a vocab share its rows, so "
+                    "they must share one dim")
         names = [s.name for s in self.dense + self.sparse + self.seq]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate feature names in {names}")
@@ -130,10 +135,12 @@ class FeatureSet:
                     f"vocab {s.vocab!r} declared with sizes {prev} and {s.vocab_size}")
         if self.vocab_layout is not None:
             names = [n for n, _ in self.vocab_layout]
-            if sorted(names) != sorted(sizes):
+            primary = [n for n, _ in self.vocabs]
+            if sorted(names) != sorted(primary):
                 raise ValueError(
-                    f"vocab_layout names {sorted(names)} != declared vocabs "
-                    f"{sorted(sizes)}")
+                    f"vocab_layout names {sorted(names)} != primary-width "
+                    f"vocabs {sorted(primary)} (narrow width groups have "
+                    "their own sub-tables and are not plannable)")
             spans = sorted((off, off + sizes[n], n)
                            for n, off in self.vocab_layout)
             prev_hi, prev_n = 0, None
@@ -145,20 +152,58 @@ class FeatureSet:
                 prev_hi, prev_n = hi, n
 
     # ---- derived layout -------------------------------------------------
+    #
+    # The fused-table row space (vocabs/total_vocab/vocab_offsets and the
+    # sharding/planner machinery on top of it) covers the PRIMARY width
+    # group — for uniform-dim FeatureSets (the normal case) that is every
+    # vocab and nothing changes. Narrower width groups each get their own
+    # sub-table row space (``width_groups``/``aux_vocab_offsets``), owned
+    # by FusedEmbedding.
 
     @property
     def embed_dim(self) -> int:
-        for s in self.sparse + self.seq:
-            return s.dim
-        return 0
+        """The PRIMARY (largest) embedding width — the uniform activation
+        width every model sees after lookup (+Align for narrow groups)."""
+        return max((s.dim for s in self.sparse + self.seq), default=0)
+
+    @property
+    def mixed_width(self) -> bool:
+        return len({s.dim for s in self.sparse + self.seq}) > 1
+
+    @property
+    def width_groups(self) -> Mapping[int, Tuple[str, ...]]:
+        """dim → vocab names (first-appearance order), all width groups."""
+        out: dict = {}
+        for s in list(self.sparse) + list(self.seq):
+            g = out.setdefault(s.dim, [])
+            if s.vocab not in g:
+                g.append(s.vocab)
+        return {d: tuple(v) for d, v in out.items()}
+
+    def aux_vocab_offsets(self, dim: int) -> Mapping[str, int]:
+        """Row offsets inside the width-``dim`` sub-table (narrow groups)."""
+        out, off = {}, 0
+        sizes = {s.vocab: s.vocab_size
+                 for s in list(self.sparse) + list(self.seq)}
+        for v in self.width_groups[dim]:
+            out[v] = off
+            off += sizes[v]
+        return out
+
+    def aux_total_vocab(self, dim: int) -> int:
+        sizes = {s.vocab: s.vocab_size
+                 for s in list(self.sparse) + list(self.seq)}
+        return int(sum(sizes[v] for v in self.width_groups[dim]))
 
     @property
     def vocabs(self) -> Tuple[Tuple[str, int], ...]:
-        """Unique (vocab_name, vocab_size) pairs in table-row order
-        (explicit ``vocab_layout`` order when set, else spec order)."""
+        """Unique PRIMARY-width (vocab_name, vocab_size) pairs in
+        table-row order (explicit ``vocab_layout`` order when set, else
+        spec order)."""
+        d0 = self.embed_dim
         seen = {}
         for s in list(self.sparse) + list(self.seq):
-            if s.vocab not in seen:
+            if s.dim == d0 and s.vocab not in seen:
                 seen[s.vocab] = s.vocab_size
         if self.vocab_layout is not None:
             return tuple((n, seen[n])
@@ -206,27 +251,43 @@ class FeatureSet:
         return hashlib.sha256(desc.encode()).hexdigest()[:16]
 
     def sparse_offsets(self) -> np.ndarray:
-        """(n_sparse,) int32 — offset to add to each sparse column's ids."""
+        """(n_sparse,) int32 — offset to add to each sparse column's ids
+        in the PRIMARY fused-table row space. Only meaningful when every
+        sparse field is primary-width (raises otherwise — mixed-width
+        lookups route per width group inside FusedEmbedding)."""
+        d0 = self.embed_dim
+        if any(s.dim != d0 for s in self.sparse):
+            raise ValueError(
+                "sparse_offsets() is the single-fused-table fast path; "
+                "this FeatureSet has narrow-width sparse fields — use "
+                "FusedEmbedding's per-group routing")
         offs = self.vocab_offsets
         return np.asarray([offs[s.vocab] for s in self.sparse], dtype=np.int32)
 
     def sparse_groups(self) -> Tuple[Tuple[int, int, Tuple[int, ...]], ...]:
-        """Static grouping of sparse columns by vocab row range, for the
-        grouped (overlapped) gather/scatter path: tuple of
+        """Static grouping of PRIMARY-width sparse columns by vocab row
+        range, for the grouped (overlapped) gather/scatter path: tuple of
         ``(row_lo, row_hi, (sparse column indices…))`` sorted by row_lo.
         XLA overlaps independent per-group gathers/scatters where it
         serializes one fused lookup (~6× on v5e at Criteo shapes, PERF.md)."""
+        d0 = self.embed_dim
         offs = self.vocab_offsets
         sizes = dict(self.vocabs)
         by_vocab: dict = {}
         for i, s in enumerate(self.sparse):
-            by_vocab.setdefault(s.vocab, []).append(i)
+            if s.dim == d0:
+                by_vocab.setdefault(s.vocab, []).append(i)
         groups = [(offs[v], offs[v] + sizes[v], tuple(cols))
                   for v, cols in by_vocab.items()]
         return tuple(sorted(groups))
 
     def seq_offset(self, name: str) -> int:
         spec = self.seq_spec(name)
+        if spec.dim != self.embed_dim:
+            raise ValueError(
+                f"seq field {name!r} is narrow-width (dim {spec.dim}); its "
+                "rows live in the width-group sub-table — use "
+                "aux_vocab_offsets(dim) / FusedEmbedding.seq")
         return int(self.vocab_offsets[spec.vocab])
 
     def sparse_index(self, name: str) -> int:

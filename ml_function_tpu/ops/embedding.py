@@ -222,7 +222,16 @@ class FusedEmbedding:
     """One fused table per COLUMN GROUP over a FeatureSet's vocabs:
     ``table`` (V, D) cross embeddings + ``linear`` (V, 1) first-order
     weights (when ``with_linear``). All vocabs share rows via global
-    offsets; both gathers share the same ids."""
+    offsets; both gathers share the same ids.
+
+    Per-feature widths (reference ``sparseFea.cross_unit`` +
+    ``AlignLayer``, data_prepare.py:59 / core_layer.py:240-257): vocabs
+    declaring a NARROWER dim than the primary width form per-width
+    sub-tables — ``table{d}`` (V_d, d) + ``linear{d}`` (V_d, 1) with their
+    own row space (``fs.aux_vocab_offsets``) — and a learned ``align{d}``
+    (d, D) projection recombines their lookups to the primary width, so
+    models always see uniform (B, ·, D). Narrow rows cost d (not D)
+    floats — the vocab-size-scaled-dim memory trick."""
 
     feature_set: FeatureSet
     with_linear: bool = True
@@ -234,6 +243,11 @@ class FusedEmbedding:
     @property
     def width(self) -> int:
         return self.dim + (1 if self.with_linear else 0)
+
+    def _narrow_dims(self) -> Tuple[int, ...]:
+        d0 = self.dim
+        return tuple(sorted(d for d in self.feature_set.width_groups
+                            if d != d0))
 
     def init(self, rng, pre_weight: Optional[Mapping[str, np.ndarray]] = None) -> Params:
         fs = self.feature_set
@@ -249,7 +263,78 @@ class FusedEmbedding:
         out = {"table": table}
         if self.with_linear:
             out["linear"] = normal_init(r2, (fs.total_vocab, 1), stddev=0.05)
+        for gi, d in enumerate(self._narrow_dims()):
+            rg = jax.random.fold_in(rng, 101 + gi)
+            ra, rb, rc = jax.random.split(rg, 3)
+            v = fs.aux_total_vocab(d)
+            out[f"table{d}"] = normal_init(ra, (v, d), stddev=0.05)
+            if self.with_linear:
+                out[f"linear{d}"] = normal_init(rb, (v, 1), stddev=0.05)
+            from .base import glorot_uniform
+            out[f"align{d}"] = glorot_uniform(rc, (d, self.dim))
         return out
+
+    # ---- keyed row access (tape / int8 / collective aware) --------------
+
+    def _keyed_rows(self, params: Params, key: str, gids: jax.Array,
+                    width: int) -> jax.Array:
+        tape = active_row_tape()
+        if tape is not None:
+            return tape.gather(key, gids, width)
+        t = params[key]
+        if is_quantized(t):
+            flat = gids.reshape(-1)
+            return _dequant_gather(t, flat).reshape(gids.shape + (width,))
+        return self._rows(t, gids)
+
+    def _sparse_mixed(self, params: Params, ids: jax.Array,
+                      want_cross: bool, want_linear: bool):
+        """Per-width-group routing for FeatureSets with narrow sparse
+        fields: each group gathers from its own table (+Align to the
+        primary width); columns re-interleave in the original field
+        order. Returns (cross (B, F, D) | None, linear (B, F) | None)."""
+        fs = self.feature_set
+        d0 = self.dim
+        F = len(fs.sparse)
+        cross_cols: list = [None] * F
+        lin_cols: list = [None] * F
+        for d in sorted(fs.width_groups):
+            cols = [i for i, s in enumerate(fs.sparse) if s.dim == d]
+            if not cols:
+                continue
+            if d == d0:
+                offs = fs.vocab_offsets
+                tkey, lkey = "table", "linear"
+            else:
+                offs = fs.aux_vocab_offsets(d)
+                tkey, lkey = f"table{d}", f"linear{d}"
+            off_arr = jnp.asarray([offs[fs.sparse[i].vocab] for i in cols],
+                                  jnp.int32)
+            gids = ids[:, cols] + off_arr[None, :]
+            if d == d0 and is_quantized_fused(params):
+                cr, ln = _dequant_fused(params, gids.reshape(-1))
+                cr = cr.reshape(gids.shape + (d0,))
+                ln = ln.reshape(gids.shape)
+            else:
+                cr = (self._keyed_rows(params, tkey, gids, d)
+                      if want_cross else None)
+                ln = (self._keyed_rows(params, lkey, gids, 1)[..., 0]
+                      if want_linear else None)
+            if want_cross and cr is not None and d != d0:
+                from .base import bf16_matmul
+                cr = bf16_matmul(cr, params[f"align{d}"])   # (B, n, D)
+            for j, i in enumerate(cols):
+                if want_cross and cr is not None:
+                    cross_cols[i] = cr[:, j, :]
+                if want_linear and ln is not None:
+                    lin_cols[i] = ln[:, j]
+        cross = (jnp.stack(cross_cols, axis=1) if want_cross else None)
+        lin = (jnp.stack(lin_cols, axis=1) if want_linear else None)
+        return cross, lin
+
+    def _has_narrow_sparse(self) -> bool:
+        d0 = self.dim
+        return any(s.dim != d0 for s in self.feature_set.sparse)
 
     # ---- lookups --------------------------------------------------------
     #
@@ -304,6 +389,8 @@ class FusedEmbedding:
                    ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """(B, F) ids → ((B, F, D) cross, (B, F) linear or None). Per-vocab
         grouped gathers per column group — all of them overlap on-device."""
+        if self._has_narrow_sparse():
+            return self._sparse_mixed(params, ids, True, self.with_linear)
         tape = active_row_tape()
         if tape is not None:
             gids = self._global_sparse_ids(ids)
@@ -323,6 +410,8 @@ class FusedEmbedding:
 
     def sparse(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F, D) cross embeddings (no linear gather)."""
+        if self._has_narrow_sparse():
+            return self._sparse_mixed(params, ids, True, False)[0]
         tape = active_row_tape()
         if tape is not None:
             return tape.gather("table", self._global_sparse_ids(ids), self.dim)
@@ -334,6 +423,8 @@ class FusedEmbedding:
 
     def sparse_linear(self, params: Params, ids: jax.Array) -> jax.Array:
         """(B, F) ids → (B, F) first-order weights (no cross gather)."""
+        if self._has_narrow_sparse():
+            return self._sparse_mixed(params, ids, False, True)[1]
         tape = active_row_tape()
         if tape is not None:
             return tape.gather("linear", self._global_sparse_ids(ids),
@@ -346,9 +437,19 @@ class FusedEmbedding:
 
     def seq(self, params: Params, name: str, ids: jax.Array
             ) -> Tuple[jax.Array, jax.Array]:
-        """(B, L) ids → ((B, L, D) embeddings with pad rows zeroed, (B, L) mask)."""
-        off = self.feature_set.seq_offset(name)
+        """(B, L) ids → ((B, L, D) embeddings with pad rows zeroed, (B, L) mask).
+        Narrow-width seq vocabs gather from their width-group sub-table and
+        Align to the primary D."""
+        spec = self.feature_set.seq_spec(name)
         mask = ids != 0
+        if spec.dim != self.dim:
+            d = spec.dim
+            off = self.feature_set.aux_vocab_offsets(d)[spec.vocab]
+            rows = self._keyed_rows(params, f"table{d}", ids + off, d)
+            from .base import bf16_matmul
+            rows = bf16_matmul(rows, params[f"align{d}"])
+            return rows * mask[..., None], mask
+        off = self.feature_set.seq_offset(name)
         tape = active_row_tape()
         if tape is not None:
             rows = tape.gather("table", ids + off, self.dim)

@@ -36,9 +36,12 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 
 def _is_table_path(path) -> bool:
-    keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-    # both column groups of FusedEmbedding ("table" cross, "linear" 1st-order)
-    return "embedding" in keys and ("table" in keys or "linear" in keys)
+    keys = [str(getattr(k, "key", getattr(k, "idx", None))) for k in path]
+    # all row-table column groups of FusedEmbedding: "table"/"linear" plus
+    # per-width sub-tables "table{d}"/"linear{d}" (mixed-width schemas);
+    # the tiny align{d} projections stay replicated
+    return "embedding" in keys and any(
+        k.startswith("table") or k.startswith("linear") for k in keys)
 
 
 def _is_expert_path(path) -> bool:
@@ -210,7 +213,12 @@ def make_sharded_train_step(model: Model, optimizer, mesh: Mesh,
     ``parallel/longseq.py``; equality vs the unsharded model pinned in
     tests/test_seq_parallel.py)."""
     fs = model.feature_set
-    observe_overflow = exchange == "a2a" and capacity is not None
+    # the overflow counter reconstructs PRIMARY-table global ids; mixed-
+    # width schemas route lookups per width group inside FusedEmbedding,
+    # so the counter only covers uniform-width sets (the a2a drops remain
+    # lossless at the default capacity either way)
+    observe_overflow = (exchange == "a2a" and capacity is not None
+                        and not fs.mixed_width)
     if observe_overflow:
         from .embedding import ShardedLookup
         sl_obs = ShardedLookup(mesh, fs, mode="a2a", capacity=capacity)

@@ -171,13 +171,15 @@ def quantize_for_serving(model: Model, params) -> Dict[str, Any]:
     if "table" in emb and "linear" in emb:
         # both column groups pack into ONE int8 (V, D+3) row — one serving
         # gather replaces the f32 table+linear pair (no int8 width cliff
-        # through 16, measured)
-        emb = quantize_fused(jnp.asarray(emb["table"]),
-                             jnp.asarray(emb["linear"]))
-    else:
-        for g, t in emb.items():
-            if hasattr(t, "ndim") and t.ndim == 2 and t.shape[1] > 1:
-                emb[g] = quantize_table(jnp.asarray(t))
+        # through 16, measured). Mixed-width sub-tables (table{d}) keep
+        # their own packed-qp rows; align{d} projections stay f32.
+        packed = quantize_fused(jnp.asarray(emb.pop("table")),
+                                jnp.asarray(emb.pop("linear")))
+        emb.update(packed)
+    for g, t in list(emb.items()):
+        if (g.startswith("table") and hasattr(t, "ndim") and t.ndim == 2
+                and t.shape[1] > 1):
+            emb[g] = quantize_table(jnp.asarray(t))
     out["embedding"] = emb
     for k, t in aux_row_tables(model, params).items():
         if t.shape[1] > 1:

@@ -131,8 +131,10 @@ def get_learning_rate(opt_state) -> float:
 
 def _is_table(path) -> bool:
     keys = [str(getattr(k, "key", getattr(k, "idx", ""))) for k in path]
-    # both column groups of FusedEmbedding ("table" cross, "linear" 1st-order)
-    return "embedding" in keys and ("table" in keys or "linear" in keys)
+    # all row-table column groups of FusedEmbedding (incl. mixed-width
+    # "table{d}"/"linear{d}" sub-tables; align{d} routes to dense)
+    return "embedding" in keys and any(
+        k.startswith("table") or k.startswith("linear") for k in keys)
 
 
 def embedding_partitioned(

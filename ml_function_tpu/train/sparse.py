@@ -214,6 +214,14 @@ def aux_row_tables(model: Model, params, num_shards: int = 1
             and t.shape[0] in sizes}
 
 
+def emb_row_keys(emb) -> Tuple[str, ...]:
+    """FusedEmbedding keys that are ROW tables ("table*"/"linear*" column
+    groups, incl. mixed-width sub-tables); align{d} projections are dense
+    params and stay with the dense optimizer."""
+    return tuple(k for k in emb
+                 if k.startswith("table") or k.startswith("linear"))
+
+
 def _placeholder(t: jax.Array) -> jax.Array:
     """Zero-ROW stand-in carrying only the width: keeps ``params[key]``
     indexable during the record/inject phases without ever entering the
@@ -225,8 +233,10 @@ def sparse_dense_tree(model: Model, params, num_shards: int = 1) -> Dict:
     """params with every row table (fused groups + aux) replaced by
     placeholders — the tree the dense optimizer owns."""
     emb = params.get("embedding", {})
+    rk = set(emb_row_keys(emb))
     tree = dict(params)
-    tree["embedding"] = {g: _placeholder(t) for g, t in emb.items()}
+    tree["embedding"] = {g: (_placeholder(t) if g in rk else t)
+                         for g, t in emb.items()}
     for k in aux_row_tables(model, params, num_shards):
         tree[k] = _placeholder(params[k])
     return tree
@@ -236,7 +246,8 @@ def row_table_groups(model: Model, params, num_shards: int = 1
                      ) -> Dict[str, jax.Array]:
     """All row-updated tables by tape group: fused column groups
     ('table'/'linear') + aux keys."""
-    out = dict(params.get("embedding", {}))
+    emb = params.get("embedding", {})
+    out = {k: emb[k] for k in emb_row_keys(emb)}
     aux = aux_row_tables(model, params, num_shards)
     clash = set(out) & set(aux)
     assert not clash, (f"aux row tables {clash} collide with FusedEmbedding "
@@ -351,8 +362,11 @@ def make_sparse_train_step(model: Model, dense_opt, row_opt,
             new_groups[g], row_states[g] = row_opt.update(
                 groups[g], row_states[g], gids, grads)
         new_params = dict(new_params)
-        new_params["embedding"] = {g: new_groups[g]
-                                   for g in ts.params.get("embedding", {})}
+        emb0 = ts.params.get("embedding", {})
+        new_params["embedding"] = {
+            g: (new_groups[g] if g in new_groups
+                else new_params["embedding"][g])     # align{d}: dense-updated
+            for g in emb0}
         for k in aux_row_tables(model, ts.params):
             new_params[k] = new_groups[k]
 
