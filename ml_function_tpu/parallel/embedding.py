@@ -229,12 +229,16 @@ class ShardedLookup:
             cap = self.capacity or -(-n_loc // m)
             body = partial(_a2a_lookup, capacity=cap, compress=self.compress)
             # TODO(vma): the closing all_gather(tiled=True) replicates the
-            # output over `model`, but the static vma checker can't see
-            # through the a2a pipeline (re-verified on jax 0.9.0, r4) —
-            # re-enable once it can. Until then the invariant is guarded
+            # output over `model`, but jax 0.9's checker has no
+            # invariance rule for all_gather (r5: verified even a PURE
+            # tiled all_gather fails the check; the blessed fixes —
+            # pbroadcast / scatter+psum — cost a real extra collective on
+            # the hot path). Until the rule lands the invariant is guarded
             # MECHANICALLY: tests/test_vma_replication.py compares the
             # per-device buffers the replication claim says must be equal
-            # (plus tests/test_parallel.py a2a-vs-dense equality).
+            # (plus tests/test_parallel.py a2a-vs-dense equality). The
+            # psum-based sites (overflow_count here, dist-mode seq
+            # attention) run with the checker ON since r5.
             kwargs["check_vma"] = False
         elif self.mode == "psum":
             body = partial(_local_lookup, compress=self.compress)
@@ -300,6 +304,7 @@ class ShardedLookup:
         out = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS),
-            check_vma=False,  # same tiled-collective limitation as lookup
+            # the closing double psum is provably replicated — the static
+            # checker verifies this site (r5)
         )(global_ids)
         return out[0]

@@ -112,9 +112,12 @@ def make_seq_parallel_attention(mesh: Mesh, axis_name: str = "model",
         in_specs=(P(), P(None, None, axis_name, None),
                   P(None, None, axis_name, None), P(None, axis_name)),
         out_specs=P(),
-        # the ring result is replicated after a full rotation, but the
-        # varying-axis checker can't prove it
-        check_vma=False,
+        # dist mode's psum/pmax merge is provably replicated — the static
+        # checker verifies it (r5). The ring result is replicated after a
+        # full rotation, but the checker can't see through the ppermute
+        # accumulation — mechanically guarded by the vs-dense equality
+        # tests instead.
+        check_vma=(mode == "dist"),
     )
 
     def call(q, k, v, mask: Optional[jax.Array] = None):
