@@ -132,7 +132,8 @@ def run(cfg: Config) -> dict:
         train_data, test_data = train_test_split(data, cfg.data.test_frac,
                                                  seed=cfg.train.seed)
     hp = dict(cfg.model.extra)
-    if cfg.model.name not in ("fm", "afm", "seqfm", "sim", "mimn", "dts"):
+    if cfg.model.name not in ("fm", "afm", "seqfm", "sim", "mimn", "dts",
+                              "autoint", "lr"):
         hp.setdefault("hidden", tuple(cfg.model.hidden))
     model = get_model(cfg.model.name, fs, **hp)
 
@@ -206,13 +207,14 @@ def run(cfg: Config) -> dict:
                                             "grad-a2a")
                            if cfg.mesh.grad_exchange == "a2a" else None))
     else:
-        train_step = make_sharded_train_step(model, opt, mesh,
-                                             exchange=cfg.mesh.exchange,
-                                             compress=compress,
-                                             capacity=capacity)
+        train_step = make_sharded_train_step(
+            model, opt, mesh, exchange=cfg.mesh.exchange, compress=compress,
+            capacity=capacity, seq_shard=cfg.mesh.seq_shard,
+            pp_microbatches=cfg.mesh.pp_microbatches)
     eval_step = make_sharded_eval_step(model, mesh,
                                        exchange=cfg.mesh.exchange,
-                                       compress=compress)
+                                       compress=compress,
+                                       seq_shard=cfg.mesh.seq_shard)
 
     if cfg.train.profile_dir:
         jax.profiler.start_trace(cfg.train.profile_dir)

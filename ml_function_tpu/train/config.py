@@ -65,6 +65,12 @@ class MeshConfig:
     capacity: str = ""
     # same for the sparse-row BACKWARD's owner-routed buckets
     grad_capacity: str = ""
+    # shard lifelong-sequence KEY axes over 'model' (SIM's GSU routes
+    # through parallel/longseq.py — the seq-parallel tier)
+    seq_shard: bool = False
+    # > 0 pipelines deep tower stacks (AutoInt blocks) over 'model' with
+    # this many GPipe microbatches (parallel/pipeline.py)
+    pp_microbatches: int = 0
 
 
 @dataclass
@@ -136,7 +142,13 @@ def apply_overrides(cfg: Config, argv: Sequence[str]) -> Config:
             obj = getattr(obj, k)
         leaf = keys[-1]
         if isinstance(obj, dict):
-            obj[leaf] = value
+            # free-form dicts (model.extra): parse JSON literals so
+            # --config.model.extra.n_layers=4 arrives as an int (and
+            # lists/bools work); unparseable values stay strings
+            try:
+                obj[leaf] = json.loads(value)
+            except (json.JSONDecodeError, ValueError):
+                obj[leaf] = value
         else:
             if not dataclasses.is_dataclass(obj) or not hasattr(obj, leaf):
                 raise AttributeError(f"no config field {path!r}")

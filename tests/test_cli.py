@@ -94,3 +94,23 @@ def test_cli_checkpoint_rejects_layout_mismatch(tmp_path):
     man_path.write_text(json.dumps(man))
     with pytest.raises(ValueError, match="different table layout"):
         main(args)
+
+
+def test_cli_seq_shard_and_pipeline_flags():
+    """--config.mesh.seq_shard routes SIM's GSU through the seq-parallel
+    tier; --config.mesh.pp_microbatches pipelines AutoInt's block stack —
+    both from the production entrypoint (r5)."""
+    r1 = main(["--config.model.name=sim", "--config.data.seq_len=16",
+               "--config.data.n_rows=256", "--config.mesh.model=2",
+               "--config.mesh.seq_shard=true",
+               "--config.train.batch_size=64", "--config.train.epochs=1",
+               "--config.train.log_every=0"])
+    assert np.isfinite(r1["eval"]["logloss"])
+    assert "gauc" in r1["eval"]  # group column -> GAUC in the CLI result
+    r2 = main(["--config.model.name=autoint", "--config.data.n_rows=256",
+               "--config.data.n_sparse=5", "--config.data.vocab_size=50",
+               "--config.mesh.model=2", "--config.mesh.pp_microbatches=2",
+               "--config.model.extra.n_layers=4",
+               "--config.train.batch_size=64", "--config.train.epochs=1",
+               "--config.train.log_every=0"])
+    assert np.isfinite(r2["eval"]["logloss"])
