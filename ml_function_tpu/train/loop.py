@@ -227,6 +227,27 @@ def train_test_split(data: Dict[str, Any], test_frac: float = 0.2,
     return sel(data, tr_idx), sel(data, te_idx)
 
 
+def _eval_step_cached(apply_fn):
+    """One jitted (metrics, logits) eval step per model.apply — cached so
+    periodic evals inside ``fit`` reuse the compilation instead of
+    re-tracing a fresh closure every call."""
+    step = _EVAL_STEP_CACHE.get(apply_fn)
+    if step is None:
+        def eval_step(params, model_state, metrics, batch):
+            logits, _, _ = apply_fn(params, model_state, batch, train=False)
+            return update_metrics(metrics, logits, batch["label"],
+                                  batch.get("weight")), logits
+
+        step = jax.jit(eval_step)
+        _EVAL_STEP_CACHE[apply_fn] = step
+    return step
+
+
+import weakref
+
+_EVAL_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def evaluate(model: Model, params: Params, model_state, data: Dict[str, Any],
              batch_size: int = 256, group_key: str = "group"
              ) -> Dict[str, float]:
@@ -239,12 +260,7 @@ def evaluate(model: Model, params: Params, model_state, data: Dict[str, Any],
     finally have callers — VERDICT r4 weak #4)."""
     has_group = group_key in data
 
-    def eval_step(params, model_state, metrics, batch):
-        logits, _, _ = model.apply(params, model_state, batch, train=False)
-        return update_metrics(metrics, logits, batch["label"],
-                              batch.get("weight")), logits
-
-    step = jax.jit(eval_step)
+    step = _eval_step_cached(model.apply)
     em = init_metrics()
     probs, labels, groups = [], [], []
     for b in iter_batches(data, batch_size):
