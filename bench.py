@@ -367,14 +367,17 @@ def bench_scoring(steps: int = 50, quantize: str = "") -> float:
 
 
 def bench_serving_latency(batches=(1, 16, 256), reps: int = 25,
-                          inner: int = 24, sharded: bool = False):
+                          inner: int = 0, sharded: bool = False):
     """Online-scoring LATENCY board (VERDICT r4 weak #6): per-batch p50/p99
     at small serving batches, f32 vs int8 packed tables.
 
     Method: chained-``fori_loop`` differencing — each sample is
     (t[fori(2·inner)] − t[fori(inner)]) / inner, which cancels the ~18 ms
     axon tunnel dispatch AND the fixed jit-call overhead, leaving pure
-    device step latency; p50/p99 are over ``reps`` such samples. (True
+    device step latency; p50/p99 are over ``reps`` such samples.
+    ``inner=0`` auto-scales per config so inner·latency ≥ ~25 ms — well
+    above tunnel jitter (µs-scale configs at a fixed small inner read as
+    0.000 ms otherwise). (True
     end-to-end percentiles depend on the RPC stack in front of the chip,
     which this dev tunnel does not represent.)
 
@@ -440,7 +443,16 @@ def bench_serving_latency(batches=(1, 16, 256), reps: int = 25,
             ctx = (sharded_embeddings(mesh) if sharded
                    else contextlib.nullcontext())
             with ctx:
-                f_long, f_short = make_f(2 * inner), make_f(inner)
+                n_in = inner
+                if not n_in:  # calibrate: inner * latency >= ~25 ms
+                    import time as _t2
+                    probe = jax.jit(make_f(64))
+                    float(probe(p, batch))
+                    t0 = _t2.perf_counter()
+                    float(probe(p, batch))
+                    per = max((_t2.perf_counter() - t0 - 0.018) / 64, 1e-7)
+                    n_in = int(min(max(0.025 / per, 64), 1 << 14))
+                f_long, f_short = make_f(2 * n_in), make_f(n_in)
                 float(f_long(p, batch))     # compile
                 float(f_short(p, batch))
                 samples = []
@@ -451,7 +463,7 @@ def bench_serving_latency(batches=(1, 16, 256), reps: int = 25,
                     t0 = _t.perf_counter()
                     float(f_long(p, batch))
                     t_l = _t.perf_counter() - t0
-                    samples.append(max(t_l - t_s, 1e-9) / inner)
+                    samples.append(max(t_l - t_s, 1e-9) / n_in)
             s = np.sort(np.asarray(samples))
             p50 = float(s[len(s) // 2]) * 1e3
             p99 = float(s[min(int(len(s) * 0.99), len(s) - 1)]) * 1e3
@@ -714,7 +726,8 @@ def run_board(steps: int, only=None):
 
     def interaction_tier():
         for name, hp in [("deepfm", {"hidden": HIDDEN}), ("xdeepfm", None),
-                         ("dlrm", None), ("fibinet", None)]:
+                         ("dlrm", None), ("fibinet", None),
+                         ("autoint", None)]:
             b, eps = bench_model_best_batch(name, steps // 2, hp)
             add(f"{name} train", f"{eps:,.0f} ex/s/chip", f"B={b}")
         b, eps = bench_model_best_batch("mmoe", steps // 2)
