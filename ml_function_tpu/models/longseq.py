@@ -347,9 +347,30 @@ def SIM(fs: FeatureSet,
             return pctx.active_mesh()
         return None
 
+    def _regather_selected(emb_p, batch, top_i, emb):
+        """Differentiable re-gather of ONLY the selected long-stream rows.
+
+        The GSU scoring pass runs on STOP-GRADIENT rows (scores feed only
+        the integer top-k selection, which has no tangent anyway), so its
+        full-L gather has no backward; the (B, k) selected ids re-gather
+        differentiably — the table cotangent scatter shrinks from B·L to
+        B·k rows (measured: the full-stream scatter was 107 of 138 ms of
+        the 16k-key SIM step). Returns (reduced, red_mask, l2_long)."""
+        parts, red_mask = [], None
+        l2 = fe.l2_from_sparse(emb)  # emb_l2 covers the rows USED downstream
+        for n in long_behavior:
+            sel_ids = jnp.take_along_axis(batch["seq"][n], top_i, axis=1)
+            e, m = fe.seq(emb_p, n, sel_ids)
+            parts.append(e)
+            red_mask = m if red_mask is None else (red_mask | m)
+            l2 = l2 + fe.l2_from_seq(n, e)
+        return jnp.concatenate(parts, axis=-1), red_mask, l2
+
     def fwd(params, batch, train):
+        from ..ops.embedding import active_row_tape
         emb_p = params["dien"]["embedding"]
         sp_mesh = _seq_shard_mesh()
+        fast_soft = (search == "soft" and active_row_tape() is None)
         if sp_mesh is not None:
             # SP path (parallel/longseq.py): the long KEY axis is sharded
             # over `model` — scoring, masking and top-k run per L/M block,
@@ -363,19 +384,42 @@ def SIM(fs: FeatureSet,
                                          for c in long_score_cols], axis=-1)
             from ..parallel import context as pctx
             k = min(top_k, fs.seq_spec(long_behavior[0]).max_len)
-            reduced, red_mask, sq = seq_sharded_soft_search(
+            top_i, _ = seq_sharded_soft_search(
                 sp_mesh, fs, long_behavior, k, emb_p["table"],
                 batch["seq"], cand_long,
                 capacity=pctx.exchange_capacity(),
                 compress=pctx.exchange_compress())
-            coef = jnp.asarray([fs.seq_spec(n).emb_l2
-                                for n in long_behavior], jnp.float32)
-            l2_long = (fe.l2_from_sparse(emb)
-                       + jnp.sum(coef * jnp.sum(sq, axis=1)))
+            reduced, red_mask, l2_long = _regather_selected(
+                emb_p, batch, top_i, emb)
+        elif fast_soft:
+            # stop-grad scoring + selected-rows re-gather (see helper);
+            # bit-identical VALUES to the full-gather path
+            cand_cols = [fs.sparse_index(n) for n in candidate]
+            emb = fe.sparse(emb_p, batch["sparse"])
+            cand = jnp.concatenate([emb[:, c, :] for c in cand_cols],
+                                   axis=-1)
+            cand_long = jnp.concatenate([emb[:, c, :]
+                                         for c in long_score_cols], axis=-1)
+            sg_parts, long_mask = [], None
+            for n in long_behavior:
+                e, m = fe.seq(emb_p, n, batch["seq"][n])
+                sg_parts.append(jax.lax.stop_gradient(e))
+                long_mask = m if long_mask is None else (long_mask | m)
+            long_beh_sg = jnp.concatenate(sg_parts, axis=-1)
+            scores = jnp.einsum("bld,bd->bl", long_beh_sg,
+                                jax.lax.stop_gradient(cand_long))
+            scores = jnp.where(long_mask, scores, -jnp.inf)
+            k = min(top_k, long_beh_sg.shape[1])
+            _, top_i = jax.lax.top_k(scores, k)
+            reduced, red_mask, l2_long = _regather_selected(
+                emb_p, batch, top_i, emb)
         else:
+            # RowTape path (sparse-row optimizer): lookup ids must depend
+            # on the batch only, so the selection cannot drive a second
+            # gather — keep the full-stream differentiable gather here
             cand, long_beh, long_mask, l2_long, emb = behavior_inputs(
                 fe, emb_p, batch, candidate, long_behavior)
-        if sp_mesh is not None:
+        if sp_mesh is not None or fast_soft:
             pass  # reduced/red_mask computed above
         elif search == "soft":
             # raw-space scoring against the vocab-matched candidate slice

@@ -66,10 +66,11 @@ def seq_sharded_soft_search(mesh: Mesh, fs: FeatureSet,
     batch's seq dict (uses ``long_fields`` entries, each (B, L) LOCAL ids).
     ``cand``: (B, Σ dims) candidate embedding slice vocab-matched to the
     long fields (the same ``cand_long`` the unsharded soft search scores
-    against, models/longseq.py). Returns ``(reduced (B, k, Σdims),
-    red_mask (B, k), sq_sums (n_fields, B))`` — ``sq_sums[f, b]`` is
-    Σ rows² of field f's gathered block rows for example b (pad rows
-    zeroed), for the emb_l2 term.
+    against, models/longseq.py). Returns ``(top_idx (B, k) int32 —
+    positions into the long axis, red_mask (B, k))``; the caller
+    re-gathers ONLY the selected rows differentiably (SIM's
+    ``_regather_selected``), so no gradient flows through this scoring
+    pass at all — the merge ships scores+indices, not row payloads.
 
     Equality: bit-compatible with the unsharded soft search (same per-row
     float ops; top-k merge replicates ``lax.top_k`` tie semantics).
@@ -101,7 +102,6 @@ def seq_sharded_soft_search(mesh: Mesh, fs: FeatureSet,
         # case: S = B_loc·L/M ids but only ≤ r distinct rows exist)
         cap = min(capacity or s, table_shard.shape[0])
         rows_f, masks = [], None
-        sq = []
         for ids_blk, off in zip(ids_blocks, offsets):
             gids = (ids_blk.astype(jnp.int32) + off).reshape(-1)
             rows = _a2a_fetch(table_shard, gids, cap, compress)
@@ -110,22 +110,16 @@ def seq_sharded_soft_search(mesh: Mesh, fs: FeatureSet,
             rows = rows * mask_f[..., None]     # pad rows zeroed (fe.seq)
             rows_f.append(rows)
             masks = mask_f if masks is None else (masks | mask_f)
-            # per-example Σ rows² over this block; psum over model gives
-            # the field's full-sequence sum (emb_l2 term)
-            sq.append(jax.lax.psum(
-                jnp.sum(jnp.square(rows), axis=(1, 2)), MODEL_AXIS))
         rows = jnp.concatenate(rows_f, axis=-1)   # (B_loc, lb, nf·d)
         scores = jnp.einsum("bld,bd->bl", rows, cand_loc)
         scores = jnp.where(masks, scores, -jnp.inf)
 
         loc_s, loc_i = jax.lax.top_k(scores, k_loc)
         gidx = (j * lb + loc_i).astype(jnp.int32)
-        sel_rows = jnp.take_along_axis(rows, loc_i[..., None], axis=1)
         sel_mask = jnp.take_along_axis(masks, loc_i, axis=1)
 
         cat_s = jax.lax.all_gather(loc_s, MODEL_AXIS, axis=1, tiled=True)
         cat_i = jax.lax.all_gather(gidx, MODEL_AXIS, axis=1, tiled=True)
-        cat_r = jax.lax.all_gather(sel_rows, MODEL_AXIS, axis=1, tiled=True)
         cat_m = jax.lax.all_gather(sel_mask, MODEL_AXIS, axis=1, tiled=True)
 
         # lexicographic (-score, global index) merge == lax.top_k over the
@@ -135,22 +129,27 @@ def seq_sharded_soft_search(mesh: Mesh, fs: FeatureSet,
         _, _, perm = jax.lax.sort((-cat_s, cat_i, perm0), dimension=1,
                                   num_keys=2)
         sel = perm[:, :k]
-        reduced = jnp.take_along_axis(cat_r, sel[..., None], axis=1)
+        top_idx = jnp.take_along_axis(cat_i, sel, axis=1)
         red_mask = jnp.take_along_axis(cat_m, sel, axis=1)
-        return reduced, red_mask, jnp.stack(sq)   # (nf, B_loc)
+        return top_idx, red_mask
 
     table = pad_table_for_shards(table, m)  # no-op on already-padded tables
     ids_specs = tuple(P(DATA_AXIS, MODEL_AXIS) for _ in range(nf))
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)) + ids_specs,
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         # same tiled-collective vma limitation as parallel/embedding's a2a
         # (outputs ARE replicated over model after the merge; guarded
-        # mechanically by the equality test vs the unsharded GSU)
+        # mechanically by the equality test vs the unsharded GSU). The
+        # scoring pass carries NO gradient (integer/bool outputs) — the
+        # caller re-gathers the selected rows differentiably (SIM's
+        # _regather_selected), which also drops the row payload from the
+        # merge entirely.
         check_vma=False,
     )
-    return fn(table, cand, *(seq_ids[n] for n in long_fields))
+    return jax.lax.stop_gradient(
+        fn(table, cand, *(seq_ids[n] for n in long_fields)))
 
 
 def seq_shard_wire_bytes(batch_per_dev: int, L: int, m: int, d: int,

@@ -101,7 +101,8 @@ def _sim_longseq_case(L=32, n_rows=32, n_items=40, seed=0):
 def test_seq_sharded_gsu_matches_inline_soft_search():
     """The sharded GSU primitive (block-local score→top-k→lex merge) must
     EQUAL the inline full-axis soft search, including lax.top_k's
-    tie-break-by-lower-index semantics."""
+    tie-break-by-lower-index semantics. Since r5 it returns the selected
+    POSITIONS (the caller re-gathers rows differentiably)."""
     from ml_function_tpu.parallel.longseq import seq_sharded_soft_search
     fs, model, batch = _sim_longseq_case()
     mesh = make_mesh(data=2, model=4)
@@ -120,19 +121,14 @@ def test_seq_sharded_gsu_matches_inline_soft_search():
     scores = jnp.where(mask, jnp.einsum("bld,bd->bl", rows, cand_rows),
                        -jnp.inf)
     _, top_i = jax.lax.top_k(scores, 6)
-    want_rows = jnp.take_along_axis(rows, top_i[..., None], axis=1)
     want_mask = jnp.take_along_axis(mask, top_i, axis=1)
 
-    red, red_mask, sq = seq_sharded_soft_search(
+    top_idx, red_mask = seq_sharded_soft_search(
         mesh, fs, ("hist_long",), 6, table,
         {"hist_long": jnp.asarray(batch["seq"]["hist_long"])}, cand_rows)
-    np.testing.assert_allclose(np.asarray(red), np.asarray(want_rows),
-                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(top_idx), np.asarray(top_i))
     np.testing.assert_array_equal(np.asarray(red_mask),
                                   np.asarray(want_mask))
-    want_sq = jnp.sum(jnp.square(rows), axis=(1, 2))
-    np.testing.assert_allclose(np.asarray(sq[0]), np.asarray(want_sq),
-                               rtol=1e-5, atol=1e-6)
 
 
 def test_seq_sharded_sim_train_step_matches_unsharded():
