@@ -10,7 +10,7 @@ counterpart — its longest example sequence is 90 steps in memory,
    thread behind the device step;
 2. SIM's production shape: soft-search GSU scores the long stream against
    the candidate on-device and keeps top-k for the ESU (bench board:
-   3,709 ex/s/chip at B=512 / L=16k on v5e — 59× the raw-stream ESU);
+   10,651 ex/s/chip at B=512 / L=16k on v5e (r5) — 169× the raw-stream ESU);
 3. periodic eval + early stopping + best-state restore
    (``train/control.py``).
 
