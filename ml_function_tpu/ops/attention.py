@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from typing import Optional, Tuple
+import os
 
 import jax
 import jax.numpy as jnp
@@ -104,6 +105,16 @@ class MultiHeadAttention:
                                   mask=mask, causal=self.causal,
                                   scale=1.0 / np.sqrt(hd))
             out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * hd)
+        elif (lq * lk <= 4096 and hd <= 64
+              and os.environ.get("ML_FUNCTION_TPU_FIELD_ATTN") == "1"
+              and extra_bias is None and not self.causal):
+            # opt-in Pallas field-attention kernel — measured TIE with the
+            # mul-reduce path below (PERF.md); kept as the floor proof
+            from .kernels.field_attention import field_attention
+            bias = (jnp.zeros((b, lk), jnp.float32) if mask is None
+                    else jnp.where(mask, 0.0, NEG_INF))
+            out = field_attention(q, k, v, bias, 1.0 / np.sqrt(hd))
+            out = out.reshape(b, lq, h * hd)
         elif lq * lk <= 4096 and hd <= 64:
             # SMALL-L path (field attention / short behavior windows): the
             # batched (lq, hd)x(hd, lk) dots at huge batch lower to a
