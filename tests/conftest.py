@@ -71,6 +71,7 @@ _SLOW_NODEIDS = (
     # smoke: the 2-process train drill, sharded-sparse adagrad equality,
     # DICM forward/grad, CLI sparse run)
     "test_multiprocess.py::test_two_process_cli_train_checkpoint_resume",
+    "test_multiprocess.py::test_two_process_seq_sharded_sim",
     "test_multiprocess.py::test_two_process_sparse_row_path",
     "test_multiprocess.py::test_kill_a_worker_elastic_recovery",
     "test_models_image.py::test_dicm_learns_visual_signal",

@@ -51,6 +51,54 @@ def main():
     model = get_model("fm", fs)
     mesh = make_mesh(data=2 * nprocs, model=2)
 
+    if mode == "seqshard":
+        # SIM with the long KEY axis sharded over 'model' ACROSS REAL
+        # PROCESSES (r5): the block-local a2a fetch + lex merge runs its
+        # collectives over the process boundary; parity vs the
+        # replicated-key step on the same seed/batch proves exactness.
+        import optax
+
+        from ml_function_tpu.features.schema import (FeatureSet, SeqSpec,
+                                                     SparseSpec)
+        from ml_function_tpu.parallel.train import (create_sharded_state,
+                                                    make_sharded_train_step)
+        rng = np.random.default_rng(7)
+        iv, n_rows, lk = 41, 16 * nprocs, 16
+        fs2 = FeatureSet(
+            sparse=(SparseSpec("item", iv, vocab_name="item", dim=8),),
+            seq=(SeqSpec("hist_item", iv, 4, vocab_name="item", dim=8),
+                 SeqSpec("hist_long", iv, lk, vocab_name="item", dim=8)))
+        batch = {
+            "dense": np.zeros((n_rows, 0), np.float32),
+            "sparse": rng.integers(1, iv, (n_rows, 1)).astype(np.int32),
+            "seq": {"hist_item": rng.integers(1, iv, (n_rows, 4))
+                    .astype(np.int32),
+                    "hist_long": rng.integers(0, iv, (n_rows, lk))
+                    .astype(np.int32)},
+            "label": (rng.random(n_rows) < 0.5).astype(np.float32),
+        }
+        start, per = host_batch_slice(n_rows)
+        local = {k: ({n: a[start:start + per] for n, a in v.items()}
+                     if isinstance(v, dict) else v[start:start + per])
+                 for k, v in batch.items()}
+        model2 = get_model("sim", fs2, hidden=(16, 8), search="soft",
+                           top_k=6, candidate=("item",),
+                           behavior=("hist_item",),
+                           long_behavior=("hist_long",))
+        losses = {}
+        for ss in (False, True):
+            st = create_sharded_state(model2, jax.random.PRNGKey(3),
+                                      optax.adam(1e-3), mesh)
+            stp = make_sharded_train_step(model2, optax.adam(1e-3), mesh,
+                                          donate=False, seq_shard=ss)
+            _, out = stp(st, shard_batch(local, mesh))
+            losses[str(ss)] = float(out["loss"])
+        assert abs(losses["True"] - losses["False"]) < 1e-5, losses
+        with open(os.path.join(workdir, f"result_{pid}.json"), "w") as f:
+            json.dump({"losses": losses}, f)
+        print(f"worker {pid} (seqshard): OK {losses}", flush=True)
+        return
+
     if mode == "sparse":
         from ml_function_tpu.parallel.sparse import (
             create_sparse_sharded_state, make_sparse_sharded_train_step)

@@ -189,6 +189,32 @@ def test_two_process_sparse_row_path(tmp_path):
     np.testing.assert_allclose(results[0]["checksum"], checksum, rtol=1e-5)
 
 
+def test_two_process_seq_sharded_sim(tmp_path):
+    """Sequence parallelism under 2 REAL jax.distributed processes (r5):
+    SIM's seq-sharded GSU runs its block-local a2a fetch + lex-merge
+    collectives across the process boundary and must equal the
+    replicated-key step on the same seed/batch — on every process."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(i), "2", str(port), str(tmp_path),
+         "seqshard"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"seqshard worker {i} failed:\n{outs[i]}"
+    results = []
+    for i in range(2):
+        with open(tmp_path / f"result_{i}.json") as f:
+            results.append(json.load(f))
+    assert results[0] == results[1]
+    assert abs(results[0]["losses"]["True"]
+               - results[0]["losses"]["False"]) < 1e-5
+
+
 def test_kill_a_worker_elastic_recovery(tmp_path):
     """The full elastic sequence ACROSS REAL PROCESSES (VERDICT r3 next #6):
     3 jax.distributed workers train + checkpoint; worker 2 dies abruptly
