@@ -30,7 +30,12 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
-    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+    # generous runtime-side timeouts: under full-suite CPU oversubscription
+    # a starved compile must not trip jax's own coordination heartbeat
+    # before OUR detector runs (the drill's whole point)
+    jax.distributed.initialize(heartbeat_timeout_seconds=600,
+                               initialization_timeout=600,
+                               coordinator_address=f"localhost:{port}",
                                num_processes=nprocs, process_id=pid)
 
     import optax

@@ -13,6 +13,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import jax
 import numpy as np
@@ -242,6 +243,8 @@ def test_kill_a_worker_elastic_recovery(tmp_path):
     # fresh workdir shield the drill from that scheduling noise without
     # weakening its assertions (passes first-try in isolation, ~20 s).
     for attempt in range(3):
+        if attempt:
+            time.sleep(45)   # let a transient compile storm pass
         tmp_path = tmp_path.parent / f"{tmp_path.name}_a{attempt}"
         os.makedirs(tmp_path, exist_ok=True)
         procs = launch(1, _free_port(), tmp_path)
