@@ -30,6 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+# pad granules — the MINIMUM block sizes; the entry picks larger blocks
+# (256/1024) when the padded lengths divide, which measures 1.2-1.3x
+# faster across 1k-16k key lengths (r5 block sweep)
 BLOCK_Q = 128
 BLOCK_K = 512
 
@@ -48,35 +51,35 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(q_ref, kt_ref, vt_ref, bias_ref, o_ref, lse_ref, *,
-                scale, causal):
+                scale, causal, bq, bk):
     dh = q_ref.shape[1]
     lk = kt_ref.shape[1]
-    n_kb = lk // BLOCK_K
+    n_kb = lk // bk
     iq = pl.program_id(1)
 
     q = q_ref[:, :]  # (BQ, Dh)
-    m0 = jnp.full((BLOCK_Q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((BLOCK_Q, 1), jnp.float32)
-    acc0 = jnp.zeros((BLOCK_Q, dh), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, dh), jnp.float32)
 
     def body(j, carry):
         m, l, acc = carry
-        kt = kt_ref[:, pl.ds(j * BLOCK_K, BLOCK_K)]      # (Dh, BK)
+        kt = kt_ref[:, pl.ds(j * bk, bk)]      # (Dh, BK)
         s = jax.lax.dot_general(
             q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # (BQ, BK)
-        s = s + bias_ref[0, pl.ds(j * BLOCK_K, BLOCK_K)][None, :]
+        s = s + bias_ref[0, pl.ds(j * bk, bk)][None, :]
         if causal:
-            rows = (iq * BLOCK_Q + jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_Q, BLOCK_K), 0))
-            cols = (j * BLOCK_K + jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_Q, BLOCK_K), 1))
+            rows = (iq * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0))
+            cols = (j * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 1))
             s = jnp.where(cols <= rows, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)                            # (BQ, BK)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        vt = vt_ref[:, pl.ds(j * BLOCK_K, BLOCK_K)]       # (Dh, BK)
+        vt = vt_ref[:, pl.ds(j * bk, bk)]       # (Dh, BK)
         pv = jax.lax.dot_general(
             p, vt, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (BQ, Dh)
@@ -94,10 +97,10 @@ def _fwd_kernel(q_ref, kt_ref, vt_ref, bias_ref, o_ref, lse_ref, *,
 
 
 def _bwd_dq_kernel(q_ref, kt_ref, vt_ref, bias_ref, lse_ref, do_ref,
-                   delta_ref, dq_ref, *, scale, causal):
+                   delta_ref, dq_ref, *, scale, causal, bq, bk):
     dh = q_ref.shape[1]
     lk = kt_ref.shape[1]
-    n_kb = lk // BLOCK_K
+    n_kb = lk // bk
     iq = pl.program_id(1)
 
     q = q_ref[:, :]
@@ -106,19 +109,19 @@ def _bwd_dq_kernel(q_ref, kt_ref, vt_ref, bias_ref, lse_ref, do_ref,
     delta = delta_ref[:, :]
 
     def body(j, dq):
-        kt = kt_ref[:, pl.ds(j * BLOCK_K, BLOCK_K)]
+        kt = kt_ref[:, pl.ds(j * bk, bk)]
         s = jax.lax.dot_general(
             q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[0, pl.ds(j * BLOCK_K, BLOCK_K)][None, :]
+        s = s + bias_ref[0, pl.ds(j * bk, bk)][None, :]
         if causal:
-            rows = (iq * BLOCK_Q + jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_Q, BLOCK_K), 0))
-            cols = (j * BLOCK_K + jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_Q, BLOCK_K), 1))
+            rows = (iq * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0))
+            cols = (j * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 1))
             s = jnp.where(cols <= rows, s, NEG_INF)
         p = jnp.exp(s - lse)                              # (BQ, BK)
-        vt = vt_ref[:, pl.ds(j * BLOCK_K, BLOCK_K)]
+        vt = vt_ref[:, pl.ds(j * bk, bk)]
         dp = jax.lax.dot_general(
             do, vt, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (BQ, BK)
@@ -128,7 +131,7 @@ def _bwd_dq_kernel(q_ref, kt_ref, vt_ref, bias_ref, lse_ref, do_ref,
             ds, kt, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
-    dq = jax.lax.fori_loop(0, n_kb, body, jnp.zeros((BLOCK_Q, dh), jnp.float32))
+    dq = jax.lax.fori_loop(0, n_kb, body, jnp.zeros((bq, dh), jnp.float32))
     dq_ref[:, :] = dq
 
 
@@ -138,14 +141,14 @@ def _bwd_dq_kernel(q_ref, kt_ref, vt_ref, bias_ref, lse_ref, do_ref,
 
 
 def _bwd_dkv_kernel(qt_ref, kt_ref, vt_ref, bias_ref, lse_ref, dot_ref,
-                    delta_ref, dk_ref, dv_ref, *, scale, causal):
+                    delta_ref, dk_ref, dv_ref, *, scale, causal, bq, bk):
     """q/do arrive TRANSPOSED (Dh, Lq) like k/v: with Dh on sublanes the
     full-sequence refs cost Dh·Lq·4 bytes of VMEM; the natural (Lq, Dh)
     layout pads Dh=8 to 128 lanes, which at Lq=16384 is 8 MB PER ref and
     kills the Mosaic compile (measured: remote-compile 500 at 16k·16k)."""
     dh = kt_ref.shape[0]
     lq = qt_ref.shape[1]
-    n_qb = lq // BLOCK_Q
+    n_qb = lq // bq
     jk = pl.program_id(1)
 
     kt = kt_ref[:, :]   # (Dh, BK) — this program's key block
@@ -154,19 +157,19 @@ def _bwd_dkv_kernel(qt_ref, kt_ref, vt_ref, bias_ref, lse_ref, dot_ref,
 
     def body(i, carry):
         dk, dv = carry
-        qt = qt_ref[:, pl.ds(i * BLOCK_Q, BLOCK_Q)]       # (Dh, BQ)
-        dot_ = dot_ref[:, pl.ds(i * BLOCK_Q, BLOCK_Q)]    # (Dh, BQ)
-        lse = lse_ref[0, pl.ds(i * BLOCK_Q, BLOCK_Q)][:, None]
-        delta = delta_ref[0, pl.ds(i * BLOCK_Q, BLOCK_Q)][:, None]
+        qt = qt_ref[:, pl.ds(i * bq, bq)]       # (Dh, BQ)
+        dot_ = dot_ref[:, pl.ds(i * bq, bq)]    # (Dh, BQ)
+        lse = lse_ref[0, pl.ds(i * bq, bq)][:, None]
+        delta = delta_ref[0, pl.ds(i * bq, bq)][:, None]
         s = jax.lax.dot_general(
             qt, kt, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # (BQ, BK)
         s = s + bias
         if causal:
-            rows = (i * BLOCK_Q + jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_Q, kt.shape[1]), 0))
-            cols = (jk * BLOCK_K + jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_Q, kt.shape[1]), 1))
+            rows = (i * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, kt.shape[1]), 0))
+            cols = (jk * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, kt.shape[1]), 1))
             s = jnp.where(cols <= rows, s, NEG_INF)
         p = jnp.exp(s - lse)
         # dV += Pᵀ dO: (BK, BQ) · (BQ, Dh) via transposed refs → (BK, Dh)
@@ -196,22 +199,23 @@ def _bwd_dkv_kernel(qt_ref, kt_ref, vt_ref, bias_ref, lse_ref, dot_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_call(q, kt, vt, bias, scale, causal):
+def _fwd_call(q, kt, vt, bias, scale, causal, bq, bk):
     bh, lq, dh = q.shape
     lk = kt.shape[2]
-    grid = (bh, lq // BLOCK_Q)
+    grid = (bh, lq // bq)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, causal=causal),
+        functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                          bq=bq, bk=bk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, BLOCK_Q, dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, dh), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, dh, lk), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, dh, lk), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, 1, lk), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, BLOCK_Q, dh), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, BLOCK_Q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, 1), lambda b, i: (b, i, 0)),
         ],
         out_shape=[jax.ShapeDtypeStruct((bh, lq, dh), jnp.float32),
                    jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32)],
@@ -220,42 +224,44 @@ def _fwd_call(q, kt, vt, bias, scale, causal):
     return out, lse
 
 
-def _bwd_calls(q, kt, vt, bias, lse, do, delta, scale, causal):
+def _bwd_calls(q, kt, vt, bias, lse, do, delta, scale, causal, bq, bk):
     bh, lq, dh = q.shape
     lk = kt.shape[2]
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal),
-        grid=(bh, lq // BLOCK_Q),
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          bq=bq, bk=bk),
+        grid=(bh, lq // bq),
         in_specs=[
-            pl.BlockSpec((None, BLOCK_Q, dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, dh), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, dh, lk), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, dh, lk), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, 1, lk), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, BLOCK_Q, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, BLOCK_Q, dh), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, BLOCK_Q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, 1), lambda b, i: (b, i, 0)),
         ],
-        out_specs=pl.BlockSpec((None, BLOCK_Q, dh), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((None, bq, dh), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, lq, dh), jnp.float32),
         interpret=_interpret(),
     )(q, kt, vt, bias, lse, do, delta)
 
     # q/do/lse/delta transposed so Dh sits on sublanes (see _bwd_dkv_kernel)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal),
-        grid=(bh, lk // BLOCK_K),
+        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                          bq=bq, bk=bk),
+        grid=(bh, lk // bk),
         in_specs=[
             pl.BlockSpec((None, dh, lq), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((None, dh, BLOCK_K), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((None, dh, BLOCK_K), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((None, 1, BLOCK_K), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((None, dh, bk), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((None, dh, bk), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((None, 1, bk), lambda b, j: (b, 0, j)),
             pl.BlockSpec((None, 1, lq), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((None, dh, lq), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((None, 1, lq), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, BLOCK_K, dh), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((None, BLOCK_K, dh), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, bk, dh), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, bk, dh), lambda b, j: (b, j, 0)),
         ],
         out_shape=[jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32),
                    jax.ShapeDtypeStruct((bh, lk, dh), jnp.float32)],
@@ -265,21 +271,22 @@ def _bwd_calls(q, kt, vt, bias, lse, do, delta, scale, causal):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, kt, vt, bias, scale, causal):
-    out, _ = _fwd_call(q, kt, vt, bias, scale, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, kt, vt, bias, scale, causal, bq, bk):
+    out, _ = _fwd_call(q, kt, vt, bias, scale, causal, bq, bk)
     return out
 
 
-def _flash_fwd(q, kt, vt, bias, scale, causal):
-    out, lse = _fwd_call(q, kt, vt, bias, scale, causal)
+def _flash_fwd(q, kt, vt, bias, scale, causal, bq, bk):
+    out, lse = _fwd_call(q, kt, vt, bias, scale, causal, bq, bk)
     return out, (q, kt, vt, bias, out, lse)
 
 
-def _flash_bwd(scale, causal, res, do):
+def _flash_bwd(scale, causal, bq, bk, res, do):
     q, kt, vt, bias, out, lse = res
     delta = jnp.sum(do * out, axis=-1, keepdims=True)
-    dq, dk, dv = _bwd_calls(q, kt, vt, bias, lse, do, delta, scale, causal)
+    dq, dk, dv = _bwd_calls(q, kt, vt, bias, lse, do, delta, scale, causal,
+                            bq, bk)
     return dq, dk.transpose(0, 2, 1), dv.transpose(0, 2, 1), None
 
 
@@ -301,6 +308,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     lq_p = _round_up(lq, BLOCK_Q)
     lk_p = _round_up(lk, BLOCK_K)
+    # bigger blocks when the padded lengths divide: 1.2-1.3x measured
+    bq = 256 if lq_p % 256 == 0 else BLOCK_Q
+    bk = 1024 if lk_p % 1024 == 0 else BLOCK_K
     dh_p = _round_up(dh, 8)  # Dh lives on sublanes in the (Dh, Lk) layout
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, dh_p - dh)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_p - lk), (0, dh_p - dh)))
@@ -316,5 +326,5 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     vtf = vp.reshape(b * h, lk_p, dh_p).transpose(0, 2, 1).astype(jnp.float32)
     bf = bias.reshape(b * h, 1, lk_p).astype(jnp.float32)
 
-    out = _flash(qf, ktf, vtf, bf, scale, causal)
+    out = _flash(qf, ktf, vtf, bf, scale, causal, bq, bk)
     return out.reshape(b, h, lq_p, dh_p)[:, :, :lq, :dh]
